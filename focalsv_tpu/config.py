@@ -1,0 +1,309 @@
+"""Centralized typed configuration for the FocalSV-TPU pipeline.
+
+The reference scatters its tuned constants across hard-coded per-dtype blocks
+(``focalsv/0_define_region.py:452-517``, ``extract_contig_signature_*.py``,
+``Auto/define_region.py:691-707``), CSV/TXT parameter tables
+(``5_post_processing/filter_para.csv``, ``para/GT_correction_para_*.txt``) and
+VCF header templates.  Here every knob lives in one frozen dataclass tree with
+one preset per sequencing data type (HIFI / CLR / ONT), so a compiled kernel
+can close over a static config and the CLI can override any field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class DataType(enum.Enum):
+    """Long-read sequencing data type (reference: --data_type HIFI|CLR|ONT)."""
+
+    HIFI = "HIFI"
+    CLR = "CLR"
+    ONT = "ONT"
+
+
+def _d(**kw):
+    return dataclasses.field(default_factory=lambda: dict(kw))
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionDetectConfig:
+    """Step-0 auto region detection (reference: focalsv/0_define_region.py).
+
+    A whole-genome read-signature scan is clustered, reduced, re-clustered and
+    merged with a population prior VCF to produce the BED of SV-rich regions.
+    """
+
+    # fine clustering distance for raw signatures (0_define_region.py:458,469,488)
+    dt_fine: int = 500
+    # min signatures per cluster to keep (HIFI: 1; CLR/ONT: 0.17 x coverage)
+    min_sig: int = 1
+    # fraction of estimated coverage used for min_sig on noisy reads (:482,:493)
+    min_sig_cov_fraction: float = 0.17
+    # re-clustering distance for region union (:461)
+    re_dt: int = 15_000
+    # flanking bp added around merged regions (:462)
+    flank: int = 7_000
+    # signatures must exceed this size to count (extract_gt30 awk '$4 > 30')
+    min_sig_size: int = 30
+
+
+@dataclasses.dataclass(frozen=True)
+class ReadScanConfig:
+    """Read-based signature scan & draft calling (reference: Reads_Based_Scan,
+    a vendored cuteSV 1.0.11; defaults from Description.parseArgs:53)."""
+
+    batch_size: int = 10_000_000        # genome tile size (-b)
+    min_mapq: int = 20                  # (-q)
+    min_read_len: int = 500             # (-r)
+    min_support: int = 10               # (-s)
+    min_sv_size: int = 30               # (-l)
+    max_sv_size: int = 100_000          # (-L)
+    min_siglength: int = 10             # (-sl)
+    max_split_parts: int = 7            # (-p)
+    gt_round: int = 500
+    # genotype likelihood model (genotype.py:6-7)
+    gl_error: float = 0.1
+    gl_prior: float = 1.0 / 3.0
+    # per-dtype signature clustering knobs (0_define_region.py call_sig :41-55)
+    max_cluster_bias_ins: int = 1000
+    diff_ratio_merging_ins: float = 0.9
+    max_cluster_bias_del: int = 1000
+    diff_ratio_merging_del: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class PhasingConfig:
+    """Per-region SNV calling + read haplotyping (replaces longshot 0.4.x,
+    reference: focalsv/2_phasing/)."""
+
+    min_base_qual: int = 10
+    min_mapq: int = 20
+    min_allele_frac: float = 0.25       # het site detection band
+    max_allele_frac: float = 0.75
+    min_site_depth: int = 4
+    min_snv_count: int = 1              # regions w/o hets fall back to unphased
+    max_sites: int = 512                # padded SNV axis per region tile
+    mec_iters: int = 30                 # iterated-flip MEC refinement rounds
+    err_rate: float = 0.05              # base error for likelihood model
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblyConfig:
+    """Local per-haplotype consensus assembly (replaces hifiasm/Flye/Shasta for
+    region-scale inputs; reference: focalsv/3_assembly/)."""
+
+    polish_rounds: int = 2              # extra rounds for noisy reads (CLR/ONT)
+    band_width: int = 128               # read<->backbone banded DP width
+    min_reads: int = 1
+    max_ins_per_column: int = 64        # consensus insertion slot cap
+    # backbone choice: longest read whose length is closest to the median span
+    backbone_quantile: float = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class ContigSigConfig:
+    """Contig-signature extraction + pairing -> GT
+    (reference: Dippav/extract_contig_signature_{CCS,CLR,ONT}.py)."""
+
+    min_sv_size: int = 30
+    min_mapq_cigar: int = 50            # CCS :679
+    min_mapq_split: int = 50            # CCS :680
+    # greedy clustering (cluster_del :157-210 / cluster_ins :212-249)
+    max_shift: int = 100
+    min_overlap_frac: float = 0.5
+    min_size_sim: float = 0.5
+    # intra-read merge heuristics (CCS :69-122)
+    merge_dist_ins: int = 500
+    merge_dist_del: int = 500
+    # CLR noise gates (extract_contig_signature_CLR.py:12-31)
+    clr_max_ins_pct: float = 0.13
+    clr_min_match_run: int = 200
+    # split-read geometry ratio (CLR r=0.3, ONT r=0.5)
+    split_ratio: float = 0.3
+    use_split_ins: bool = True          # ONT drops split-read INS
+
+
+@dataclasses.dataclass(frozen=True)
+class FPFilterConfig:
+    """Read-signature support filter (reference: Dippav/FP_filter_v1.py:132-137)."""
+
+    max_comp_svlen: int = 250           # larger SVs auto-pass
+    max_dist: int = 1000
+    max_shift: int = 500
+    min_size_sim: float = 0.3           # compare_sigs :56-69
+    min_support: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DedupConfig:
+    """Redundancy removal (reference: Dippav/remove_redundancy.py:246-252)."""
+
+    ins_max_dist: int = 500
+    ins_min_size_sim: float = 0.5
+    ins_min_edit_sim: float = 0.5
+    del_max_dist: int = 3000
+    del_min_size_sim: float = 0.1
+    del_min_recip_overlap: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CoverageFilterConfig:
+    """Coverage-band filter: keep calls whose rel_cov = cov/svlen lies inside
+    [median*lb, median*rb] (reference: filter_vcf_by_sig_cov_insdel.py:23-74 +
+    filter_para.csv, asm='volcano' rows)."""
+
+    ins_lower: float = 0.097
+    ins_upper: float = 2.754
+    del_lower: float = 0.2
+    del_upper: float = 2.605
+
+
+@dataclasses.dataclass(frozen=True)
+class GTCorrectConfig:
+    """HiFi genotype re-calling thresholds (reference:
+    para/GT_correction_para_{Hifi,CLR,ONT}_{DEL,INS}.txt via
+    correct_gt_{del,ins}_real_data.py:284-311)."""
+
+    size_boundary: int = 1000           # large/small SV split
+    del_t_large_11: float = 0.6
+    del_t_small_11: float = 0.69
+    del_t_large_01: float = 0.71
+    del_t_small_01: float = 0.91
+    ins_t_large_11: float = 0.6
+    ins_t_small_11: float = 0.69
+    ins_t_large_01: float = 0.71
+    ins_t_small_01: float = 0.91
+    min_size_sim: float = 0.6           # match_varlist_siglist :356-357
+    shift_factor: float = 2.3
+    min_shift: int = 500
+
+
+@dataclasses.dataclass(frozen=True)
+class GTImputeConfig:
+    """CLR/ONT genotype transfer from the read-based draft VCF
+    (reference: 5_post_processing/GT_impute.py:42-76)."""
+
+    max_dist: int = 1000
+    min_size_sim: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class ComplexSVConfig:
+    """TRA/INV/DUP calling (reference: TRA_INV_DUP_call/{Auto,Target})."""
+
+    block_size: int = 1_000_000         # auto-mode genome blocks (:633)
+    max_read_gap: int = 1000            # split-pair read-space gap gate
+    cluster_dist: int = 100             # primary breakpoint clustering
+    cluster_dist_coarse: int = 500      # secondary INV clustering
+    min_sv_size: int = 30
+    min_support: int = 2
+    min_mapq: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Seed-chain-extend aligner (replaces minimap2 for contig->ref and
+    INS-seq remap; also powers overlap detection and dedup similarity)."""
+
+    k: int = 15                         # minimizer k-mer size
+    w: int = 10                         # minimizer window
+    max_seed_hits: int = 64             # per-seed occurrence cap
+    chain_max_pred: int = 64            # chaining DP lookback window
+    chain_max_gap: int = 10_000
+    chain_min_score: int = 40
+    chain_min_anchors: int = 3
+    band_width: int = 256               # inter-anchor banded fill
+    match: int = 2
+    mismatch: int = -4
+    gap_open: int = -4
+    gap_extend: int = -2
+    # second affine component for long gaps (minimap2-style dual gap cost)
+    gap_open2: int = -24
+    gap_extend2: int = -1
+    zdrop: int = 400
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for region-data-parallel execution."""
+
+    data_axis: str = "regions"
+    # regions per device per dispatch step; tuned to keep HBM working set small
+    regions_per_device: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level configuration: one preset per data type."""
+
+    data_type: DataType = DataType.HIFI
+    detect: RegionDetectConfig = RegionDetectConfig()
+    read_scan: ReadScanConfig = ReadScanConfig()
+    phasing: PhasingConfig = PhasingConfig()
+    assembly: AssemblyConfig = AssemblyConfig()
+    contig_sig: ContigSigConfig = ContigSigConfig()
+    fp_filter: FPFilterConfig = FPFilterConfig()
+    dedup: DedupConfig = DedupConfig()
+    coverage_filter: CoverageFilterConfig = CoverageFilterConfig()
+    gt_correct: GTCorrectConfig = GTCorrectConfig()
+    gt_impute: GTImputeConfig = GTImputeConfig()
+    complex_sv: ComplexSVConfig = ComplexSVConfig()
+    align: AlignConfig = AlignConfig()
+    mesh: MeshConfig = MeshConfig()
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def preset(data_type: DataType | str) -> PipelineConfig:
+    """Build the per-dtype preset mirroring the reference's hard-coded blocks."""
+
+    if isinstance(data_type, str):
+        data_type = DataType(data_type.upper())
+
+    if data_type == DataType.HIFI:
+        return PipelineConfig(
+            data_type=DataType.HIFI,
+            detect=RegionDetectConfig(dt_fine=500, min_sig=1),
+            read_scan=ReadScanConfig(
+                max_cluster_bias_ins=1000,
+                diff_ratio_merging_ins=0.9,
+                max_cluster_bias_del=1000,
+                diff_ratio_merging_del=0.5,
+            ),
+            assembly=AssemblyConfig(polish_rounds=1),
+            contig_sig=ContigSigConfig(split_ratio=0.3, use_split_ins=True),
+            phasing=PhasingConfig(err_rate=0.01),
+        )
+    if data_type == DataType.CLR:
+        return PipelineConfig(
+            data_type=DataType.CLR,
+            detect=RegionDetectConfig(dt_fine=200, min_sig=5),
+            read_scan=ReadScanConfig(
+                max_cluster_bias_ins=100,
+                diff_ratio_merging_ins=0.3,
+                max_cluster_bias_del=200,
+                diff_ratio_merging_del=0.5,
+            ),
+            assembly=AssemblyConfig(polish_rounds=3),
+            contig_sig=ContigSigConfig(split_ratio=0.3, use_split_ins=True),
+            phasing=PhasingConfig(err_rate=0.12),
+        )
+    if data_type == DataType.ONT:
+        return PipelineConfig(
+            data_type=DataType.ONT,
+            detect=RegionDetectConfig(dt_fine=500, min_sig=5),
+            read_scan=ReadScanConfig(
+                max_cluster_bias_ins=100,
+                diff_ratio_merging_ins=0.3,
+                max_cluster_bias_del=100,
+                diff_ratio_merging_del=0.3,
+            ),
+            assembly=AssemblyConfig(polish_rounds=3),
+            contig_sig=ContigSigConfig(split_ratio=0.5, use_split_ins=False),
+            phasing=PhasingConfig(err_rate=0.08),
+        )
+    raise ValueError(f"unknown data type: {data_type}")
