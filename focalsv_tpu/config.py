@@ -215,7 +215,9 @@ class AlignConfig:
     chain_max_gap: int = 10_000
     chain_min_score: int = 40
     chain_min_anchors: int = 3
+    chain_split_gap: int = 400   # split chains when both dq,dt exceed this
     band_width: int = 256               # inter-anchor banded fill
+    flank_extend: int = 800             # max unanchored flank to DP-extend
     match: int = 2
     mismatch: int = -4
     gap_open: int = -4

@@ -257,6 +257,17 @@ def traceback(
     return _runlength(ops)
 
 
+def _pad_bucket(x: np.ndarray, lo: int = 64) -> np.ndarray:
+    """Pad a 1-D uint8 sequence to the next power-of-two bucket (bounds the
+    number of distinct jit shapes -> compile count)."""
+    n = lo
+    while n < len(x):
+        n *= 2
+    if n == len(x):
+        return x
+    return np.concatenate([x, np.full(n - len(x), 5, np.uint8)])
+
+
 def banded_align_pair(q, t, band=256, **scoring):
     """Convenience single-pair wrapper: returns (score, cigar)."""
     q = np.asarray(q, np.uint8)
@@ -264,9 +275,10 @@ def banded_align_pair(q, t, band=256, **scoring):
     d_lo = (len(t) - len(q)) // 2 - band // 2
     # ensure k_end in range and diagonal start reachable
     d_lo = int(np.clip(d_lo, len(t) - len(q) - band + 1, 0))
+    qp, tp = _pad_bucket(q), _pad_bucket(t)
     scores, dirs = banded_align_batch(
-        q[None], np.array([len(q)], np.int32),
-        t[None], np.array([len(t)], np.int32),
+        qp[None], np.array([len(q)], np.int32),
+        tp[None], np.array([len(t)], np.int32),
         np.array([d_lo], np.int32), band=band, **scoring)
     cig = traceback(np.asarray(dirs[0]), len(q), len(t), d_lo)
     return int(scores[0]), cig

@@ -1,0 +1,148 @@
+"""Anchor chaining DP (the 'chain' stage of seed-chain-extend).
+
+Minimap2-style gap-cost chaining over minimizer anchors (replaces the chain
+stage the reference gets from minimap2, and hifiasm's anchor.cpp for
+overlaps).  Implemented as a vectorized lookback-window DP: for anchor i the
+predecessor search scans only the previous ``max_pred`` anchors in (t,q)
+order, each step a numpy vector op; O(n * L) with tiny constants.
+
+Multiple non-overlapping chains are extracted for split alignments (the
+geometry source for INV/DUP/TRA calling, SURVEY.md sections 3.4-3.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Chain:
+    anchors: np.ndarray     # (n, 2) int64 (t_pos, q_pos), increasing
+    score: float
+    rel_strand: int         # 0 fwd, 1 query-revcomp
+
+
+def _gap_cost(dq: np.ndarray, dt: np.ndarray, avg_seed: int) -> np.ndarray:
+    gap = np.abs(dt - dq)
+    return 0.01 * avg_seed * gap + 0.5 * np.log2(gap + 1)
+
+
+def chain_anchors(
+    anchors: np.ndarray,        # (n, 3) int64 (t_pos, q_pos, rel_strand)
+    k: int,
+    max_pred: int = 64,
+    max_gap: int = 10_000,
+    min_score: float = 40.0,
+    min_anchors: int = 3,
+    max_chains: int = 8,
+    mask_level: float = 0.5,
+    q_len: int | None = None,
+    split_gap: int = 400,
+) -> list[Chain]:
+    """Chain anchors of both orientations; returns chains sorted by score.
+
+    Reverse-strand anchors are chained in flipped query coordinates
+    (q' = q_len - k - q), standard minimap2 convention.
+    """
+    chains: list[Chain] = []
+    for rel in (0, 1):
+        sub = anchors[anchors[:, 2] == rel][:, :2]
+        if rel == 1:
+            if q_len is None:
+                raise ValueError("q_len required when reverse anchors present")
+            if sub.shape[0]:
+                sub = sub.copy()
+                sub[:, 1] = q_len - k - sub[:, 1]
+        chains.extend(_chain_one_strand(
+            sub, k, max_pred, max_gap, min_score, min_anchors, max_chains, rel))
+    # NOTE: rel=1 chain anchors stay in revcomp-query coordinates (q' =
+    # q_len - k - q) -- the same space a BAM reverse-strand CIGAR refers to.
+    #
+    # Split chains at gaps where BOTH query and target jump (divergent /
+    # inverted interior -- the z-drop analog).  SV indels keep one delta
+    # small, so DEL/INS chains stay intact and come out of the CIGAR.
+    split: list[Chain] = []
+    for c in chains:
+        d = np.diff(c.anchors, axis=0)
+        cut = np.nonzero(np.minimum(d[:, 0], d[:, 1]) > split_gap)[0]
+        if cut.size == 0:
+            split.append(c)
+            continue
+        bounds = [0, *(cut + 1), c.anchors.shape[0]]
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            if b1 - b0 >= min_anchors:
+                piece = c.anchors[b0:b1]
+                score = float(min(k * (b1 - b0),
+                                  piece[-1, 1] - piece[0, 1] + k))
+                if score >= min_score:
+                    split.append(Chain(anchors=piece, score=score,
+                                       rel_strand=c.rel_strand))
+    chains = split
+    chains.sort(key=lambda c: -c.score)
+    # primary/secondary masking: drop chains whose query span is mostly covered
+    kept: list[Chain] = []
+    for c in chains:
+        qs, qe = c.anchors[:, 1].min(), c.anchors[:, 1].max() + k
+        ok = True
+        for kc in kept:
+            ks_, ke_ = kc.anchors[:, 1].min(), kc.anchors[:, 1].max() + k
+            olp = min(qe, ke_) - max(qs, ks_)
+            if olp > mask_level * (qe - qs):
+                ok = False
+                break
+        if ok:
+            kept.append(c)
+        if len(kept) >= max_chains:
+            break
+    return kept
+
+
+def _chain_one_strand(sub, k, max_pred, max_gap, min_score, min_anchors,
+                      max_chains, rel) -> list[Chain]:
+    n = sub.shape[0]
+    if n == 0:
+        return []
+    order = np.lexsort((sub[:, 1], sub[:, 0]))
+    a = sub[order]
+    t = a[:, 0].astype(np.float64)
+    q = a[:, 1].astype(np.float64)
+    f = np.full(n, float(k))
+    pred = np.full(n, -1, np.int64)
+    L = min(max_pred, n)
+    for i in range(1, n):
+        j0 = max(0, i - L)
+        dt = t[i] - t[j0:i]
+        dq = q[i] - q[j0:i]
+        ok = (dt > 0) & (dq > 0) & (dt <= max_gap) & (dq <= max_gap)
+        match = np.minimum(np.minimum(dq, dt), k)
+        sc = f[j0:i] + match - _gap_cost(dq, dt, k)
+        sc = np.where(ok, sc, -np.inf)
+        if sc.size:
+            bj = int(np.argmax(sc))
+            if sc[bj] > f[i]:
+                f[i] = sc[bj]
+                pred[i] = j0 + bj
+    used = np.zeros(n, bool)
+    chains = []
+    for i in np.argsort(-f):
+        if used[i] or f[i] < min_score:
+            continue
+        path = []
+        jcur = i
+        while jcur != -1 and not used[jcur]:
+            path.append(jcur)
+            used[jcur] = True
+            jcur = pred[jcur]
+        # truncated backtrack (hit a used anchor): only the suffix beyond the
+        # shared prefix is this chain's own score
+        score = float(f[i]) - (float(f[jcur]) if jcur != -1 else 0.0)
+        path.reverse()
+        if len(path) < min_anchors or score < min_score:
+            continue
+        chains.append(Chain(anchors=a[path].astype(np.int64),
+                            score=score, rel_strand=rel))
+        if len(chains) >= max_chains:
+            break
+    return chains
