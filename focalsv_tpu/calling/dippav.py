@@ -1,0 +1,113 @@
+"""DipPAV-equivalent variant caller: diploid contig alignments -> VCF records.
+
+Mirrors `Dippav/DipPAV_variant_call.py:52-171`: align HP1/HP2 contigs to the
+chromosome reference (here with the in-process seed-chain-extend engine
+instead of `minimap2 -a -x asm5 --cs -r2k`), extract per-haplotype contig
+signatures, pair across haplotypes into genotypes, attach REF/ALT sequences
+and emit FocalSV-compatible VCF records (write_vcf :634-670 semantics:
+POS is the 0-based event start written as the 1-based anchor column, REF/ALT
+carry the anchor base + event sequence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from focalsv_tpu.align_engine import Aligner
+from focalsv_tpu.config import PipelineConfig
+from focalsv_tpu.io.vcf import VcfRecord
+from focalsv_tpu.ops import encode as enc
+from focalsv_tpu.signatures.contig import extract_hap_sigs
+from focalsv_tpu.signatures.sigs import DEL, INS, PairedSig, pair_haplotypes
+
+
+def align_contigs(
+    contigs: dict[str, np.ndarray],
+    aligner: Aligner,
+) -> list:
+    """Align every contig; returns flat list of Alignment objects."""
+    out = []
+    for name, seq in contigs.items():
+        out.extend(aligner.align(np.asarray(seq, np.uint8), q_name=name))
+    return out
+
+
+def paired_sig_to_vcf(
+    paired: list[PairedSig],
+    chrom: str,
+    ref: np.ndarray,                 # chromosome (or region) reference codes
+    ref_offset: int,                 # genome coordinate of ref[0]
+    contigs_hp1: dict[str, np.ndarray],
+    contigs_hp2: dict[str, np.ndarray],
+    id_prefix: str = "focalsv",
+) -> list[VcfRecord]:
+    """Attach sequences and build VCF records (add_seq_to_sig :598-631)."""
+    contigs = dict(contigs_hp1)
+    contigs.update(contigs_hp2)
+    records: list[VcfRecord] = []
+    counters = {DEL: 0, INS: 0}
+    for sig in paired:
+        pos0 = sig.pos - ref_offset          # 0-based index into ref
+        if pos0 < 1 or pos0 >= len(ref):
+            continue
+        anchor = enc.decode(ref[pos0 - 1 : pos0])
+        if sig.svtype == DEL:
+            deleted = enc.decode(ref[pos0 : pos0 + sig.svlen])
+            if len(deleted) < sig.svlen:
+                continue
+            ref_allele = anchor + deleted
+            alt_allele = anchor
+            svlen = -sig.svlen
+            tname = "DEL"
+        else:
+            cseq = contigs.get(sig.contig_name)
+            if cseq is None:
+                continue
+            cseq = np.asarray(cseq, np.uint8)
+            if sig.hp_strand:
+                # offsets are in stored (revcomp) strand space
+                stored = enc.revcomp(cseq)
+            else:
+                stored = cseq
+            ins_seq = stored[sig.rstart : sig.rend]
+            if len(ins_seq) == 0:
+                continue
+            ref_allele = anchor
+            alt_allele = anchor + enc.decode(ins_seq)
+            svlen = len(alt_allele) - 1
+            tname = "INS"
+        counters[sig.svtype] += 1
+        records.append(VcfRecord(
+            chrom=chrom, pos=sig.pos, ref=ref_allele, alt=alt_allele,
+            id=f"{id_prefix}.{chrom}.{tname}.{counters[sig.svtype]}",
+            qual="20", filter="PASS",
+            info=dict(SVLEN=svlen, SVTYPE=tname, TIG_REGION=sig.tig_region,
+                      QUERY_STRAND=sig.strand, SIG_SOURCE=sig.source,
+                      TIG_MAPQ=sig.mapq),
+            gt=sig.gt,
+        ))
+    return records
+
+
+def call_region_variants(
+    contigs_hp1: dict[str, np.ndarray],
+    contigs_hp2: dict[str, np.ndarray],
+    ref: np.ndarray,
+    ref_offset: int,
+    chrom: str,
+    cfg: PipelineConfig,
+) -> list[VcfRecord]:
+    """Full DipPAV path for one region/chromosome worth of contigs."""
+    aligner = Aligner(np.asarray(ref, np.uint8), cfg.align, t_name=chrom)
+    names1 = list(contigs_hp1)
+    names2 = list(contigs_hp2)
+    aln1 = align_contigs(contigs_hp1, aligner)
+    aln2 = align_contigs(contigs_hp2, aligner)
+    # alignments carry region-local coordinates; shift to genome space
+    for a in aln1 + aln2:
+        a.t_start += ref_offset
+    s1 = extract_hap_sigs(aln1, names1, cfg.data_type, cfg.contig_sig)
+    s2 = extract_hap_sigs(aln2, names2, cfg.data_type, cfg.contig_sig)
+    paired = pair_haplotypes(s1, s2)
+    return paired_sig_to_vcf(paired, chrom, ref, ref_offset,
+                             contigs_hp1, contigs_hp2)

@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+
+from focalsv_tpu.calling import dedup, dippav, fp_filter
+from focalsv_tpu.config import DataType, preset
+from focalsv_tpu.io import bam as bamio
+from focalsv_tpu.io.vcf import VcfRecord
+from focalsv_tpu.ops import encode as enc
+from focalsv_tpu.signatures import contig as csig
+from focalsv_tpu.signatures import reads as rsig
+from focalsv_tpu.signatures.sigs import DEL, INS, Sigs
+from focalsv_tpu.testing import simulate as sim
+
+
+def test_sigs_from_cigar():
+    cig = bamio.parse_cigar_string("100M50D200M40I100M")
+    rows = csig.sigs_from_cigar(np.array(cig, np.int64), 1000, 0, 0, 60, 30)
+    assert len(rows) == 2
+    d = [r for r in rows if r["svtype"] == DEL][0]
+    i = [r for r in rows if r["svtype"] == INS][0]
+    assert d["pos"] == 1100 and d["svlen"] == 50
+    assert i["pos"] == 1100 + 50 + 200 and i["svlen"] == 40
+    assert i["rstart"] == 300 and i["rend"] == 340
+    # small ops below threshold ignored
+    cig2 = bamio.parse_cigar_string("100M10D100M")
+    assert csig.sigs_from_cigar(np.array(cig2, np.int64), 0, 0, 0, 60, 30) == []
+
+
+def test_merge_intra_read():
+    rows = [
+        dict(svtype=INS, pos=1000, svlen=300, contig=0, rstart=500, rend=800,
+             strand=0, source=0, mapq=60),
+        dict(svtype=INS, pos=1100, svlen=300, contig=0, rstart=900, rend=1200,
+             strand=0, source=0, mapq=60),
+    ]
+    out = csig.merge_intra_read(rows)
+    assert len(out) == 1
+    assert out[0]["svlen"] == 1200 - 500
+
+
+def test_cluster_keep_longest():
+    from focalsv_tpu.signatures.sigs import cluster_keep_longest
+    s = Sigs.from_rows([
+        dict(svtype=DEL, pos=100, svlen=60, contig=0, rstart=0, rend=1, strand=0, source=0, mapq=60),
+        dict(svtype=DEL, pos=110, svlen=55, contig=0, rstart=0, rend=1, strand=0, source=0, mapq=60),
+        dict(svtype=DEL, pos=5000, svlen=100, contig=0, rstart=0, rend=1, strand=0, source=0, mapq=60),
+    ], ["c"])
+    out = cluster_keep_longest(s, DEL)
+    assert len(out) == 2
+    assert set(out.svlen.tolist()) == {60, 100}
+
+
+def _diploid_contigs(seed=11, ref_len=30_000):
+    """Reference + two haplotype contigs with known SVs."""
+    rng = np.random.default_rng(seed)
+    ref = rng.integers(0, 4, ref_len).astype(np.uint8)
+    ins_seq = rng.integers(0, 4, 400).astype(np.uint8)
+    svs = [
+        sim.SimSV("DEL", 8_000, 250, "0/1"),          # het DEL on hap1
+        sim.SimSV("INS", 20_000, 400, "1/1", seq=ins_seq),  # hom INS
+    ]
+    hap1 = sim.apply_variants(ref, svs, [], 0)
+    hap2 = sim.apply_variants(ref, svs, [], 1)
+    return ref, {"region_hp1_1": hap1.seq}, {"region_hp2_1": hap2.seq}, svs
+
+
+def test_call_region_variants_diploid():
+    ref, hp1, hp2, svs = _diploid_contigs()
+    cfg = preset(DataType.HIFI)
+    recs = dippav.call_region_variants(hp1, hp2, ref, 0, "chr21", cfg)
+    assert len(recs) == 2
+    by_type = {r.info["SVTYPE"]: r for r in recs}
+    assert set(by_type) == {"DEL", "INS"}
+    d, i = by_type["DEL"], by_type["INS"]
+    assert abs(d.pos - 8_000) <= 20
+    assert abs(abs(int(d.info["SVLEN"])) - 250) <= 10
+    assert d.gt == "0/1"
+    assert abs(i.pos - 20_000) <= 20
+    assert abs(int(i.info["SVLEN"]) - 400) <= 10
+    assert i.gt == "1/1"
+    # REF/ALT sequences consistent with the reference
+    assert len(d.ref) - len(d.alt) == abs(int(d.info["SVLEN"]))
+    # INS sequence should match the simulated insertion closely
+    ins_alt = enc.encode(i.alt[1:])
+    from focalsv_tpu.ops.align import edit_similarity
+    sv_ins = [s for s in svs if s.svtype == "INS"][0]
+    assert edit_similarity(ins_alt, sv_ins.seq) > 0.9
+
+
+def test_call_region_variants_with_offset():
+    ref, hp1, hp2, svs = _diploid_contigs(seed=12)
+    cfg = preset(DataType.HIFI)
+    recs = dippav.call_region_variants(hp1, hp2, ref, 1_000_000, "chr21", cfg)
+    by_type = {r.info["SVTYPE"]: r for r in recs}
+    assert abs(by_type["DEL"].pos - 1_008_000) <= 20
+
+
+def test_read_sigs_and_fp_filter():
+    region = sim.simulate_region(seed=3, ref_len=25_000, coverage=20)
+    sigs = rsig.extract_read_sigs(region.reads)
+    assert len(sigs) > 5
+    # the simulated SVs should appear as clustered signatures
+    del_sv = [s for s in region.svs if s.svtype == "DEL"][0]
+    near_del = np.abs(sigs.pos[sigs.svtype == DEL] - del_sv.pos) < 100
+    assert near_del.sum() >= 3
+    # FP filter: a real call survives, a bogus small call is dropped
+    real = VcfRecord("chr21", del_sv.pos, "x", "A" * (del_sv.length + 1), "A",
+                     info={"SVTYPE": "DEL", "SVLEN": -del_sv.length})
+    bogus = VcfRecord("chr21", 2_000, "y", "A" * 61, "A",
+                      info={"SVTYPE": "DEL", "SVLEN": -60})
+    kept, dropped = fp_filter.fp_filter_records([real, bogus], sigs)
+    assert real.pos in [r.pos for r in kept]
+    assert bogus.pos in [r.pos for r in dropped]
+
+
+def test_dedup_ins_and_del():
+    rng = np.random.default_rng(0)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 200))
+    recs = [
+        VcfRecord("chr1", 1000, "a", "A", "A" + seq, info={"SVTYPE": "INS", "SVLEN": 200}),
+        VcfRecord("chr1", 1100, "b", "A", "A" + seq[:190], info={"SVTYPE": "INS", "SVLEN": 190}),
+        VcfRecord("chr1", 9000, "c", "A" + "G" * 100, "A", info={"SVTYPE": "DEL", "SVLEN": -100}),
+        VcfRecord("chr1", 9050, "d", "A" + "G" * 90, "A", info={"SVTYPE": "DEL", "SVLEN": -90}),
+        VcfRecord("chr1", 20000, "e", "A", "A" + seq[::-1], info={"SVTYPE": "INS", "SVLEN": 200}),
+    ]
+    kept, removed = dedup.dedup_records(recs)
+    kept_ids = {r.id for r in kept}
+    assert kept_ids == {"a", "c", "e"}
+    assert {r.id for r in removed} == {"b", "d"}
+    assert all("CollapseId" in r.info for r in removed)
