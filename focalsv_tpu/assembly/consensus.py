@@ -1,0 +1,178 @@
+"""Reference-guided haplotype consensus: pileup majority + insertion voting.
+
+The region-scale replacement for hifiasm/Flye/Shasta (reference runs one
+assembler process per phase-block FASTA, `3_assembly/run_assembly.py:15-28`).
+Reads arrive pre-aligned (the pipeline input is an aligned BAM, as FocalSV's
+is), so within one haplotype's read set the consensus is a *column vote*:
+
+- matrix vote per reference column over {A,C,G,T, DELETED} captures
+  deletions exactly (every spanning read votes the D symbol);
+- insertion candidates (CIGAR I ops) are position-clustered; a cluster
+  supported by >= ins_frac of local depth contributes its medoid-length
+  sequence at that column.
+
+This is O(reads x length) vectorized work with no graph construction --
+appropriate because FocalSV regions are small (~10-100 kb) and haplotype read
+sets tiny; accuracy gate is Truvari parity of the resulting SVs, not contig
+identity with hifiasm (SURVEY.md section 7 step 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from focalsv_tpu.config import AssemblyConfig
+from focalsv_tpu.io import bam as bamio
+
+DEL_SYM = 254
+NOCOV = 255
+
+
+def pileup_with_dels(
+    reads: list[bamio.BamRecord], idxs: list[int],
+    region_start: int, region_len: int,
+) -> tuple[np.ndarray, list[tuple[int, int, np.ndarray]]]:
+    """Returns (matrix (n, L) uint8 with DEL_SYM/NOCOV, insertions list of
+    (region_pos, read_idx, seq))."""
+    mat = np.full((len(idxs), region_len), NOCOV, np.uint8)
+    inss: list[tuple[int, int, np.ndarray]] = []
+    for mi, ri in enumerate(idxs):
+        rec = reads[ri]
+        rpos = rec.pos - region_start
+        qpos = 0
+        for op, ln in rec.cigar:
+            if op in (bamio.CMATCH, bamio.CEQUAL, bamio.CDIFF):
+                a = max(0, -rpos)
+                b = min(ln, region_len - rpos)
+                if b > a:
+                    mat[mi, rpos + a : rpos + b] = rec.seq[qpos + a : qpos + b]
+                rpos += ln
+                qpos += ln
+            elif op == bamio.CINS:
+                if 0 <= rpos < region_len:
+                    inss.append((rpos, mi, rec.seq[qpos : qpos + ln].copy()))
+                qpos += ln
+            elif op == bamio.CSOFT_CLIP:
+                qpos += ln
+            elif op in (bamio.CDEL, bamio.CREF_SKIP):
+                a = max(0, -rpos)
+                b = min(ln, region_len - rpos)
+                if b > a:
+                    mat[mi, rpos + a : rpos + b] = DEL_SYM
+                rpos += ln
+    return mat, inss
+
+
+def _column_vote(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(consensus symbol per column, coverage per column)."""
+    L = mat.shape[1]
+    counts = np.zeros((L, 6), np.int32)  # A C G T N DEL
+    for b in range(5):
+        counts[:, b] = (mat == b).sum(axis=0)
+    counts[:, 5] = (mat == DEL_SYM).sum(axis=0)
+    cov = counts.sum(axis=1)
+    best = counts.argmax(axis=1)
+    return best.astype(np.uint8), cov
+
+
+def _cluster_insertions(
+    inss: list[tuple[int, int, np.ndarray]], max_dist: int = 20,
+) -> list[tuple[int, list[np.ndarray]]]:
+    """Group insertion events by nearby positions -> (position, seqs)."""
+    if not inss:
+        return []
+    inss = sorted(inss, key=lambda x: x[0])
+    out: list[tuple[int, list[np.ndarray]]] = []
+    cur_pos, cur_seqs = inss[0][0], [inss[0][2]]
+    cur_readset = {inss[0][1]}
+    for pos, mi, seq in inss[1:]:
+        if pos - cur_pos <= max_dist:
+            if mi in cur_readset:
+                # same read, adjacent I ops: concatenate
+                cur_seqs[-1] = np.concatenate([cur_seqs[-1], seq])
+            else:
+                cur_seqs.append(seq)
+                cur_readset.add(mi)
+            cur_pos = pos
+        else:
+            out.append((cur_pos, cur_seqs))
+            cur_pos, cur_seqs, cur_readset = pos, [seq], {mi}
+    out.append((cur_pos, cur_seqs))
+    return out
+
+
+def consensus_contig(
+    reads: list[bamio.BamRecord], idxs: list[int],
+    region_start: int, region_len: int,
+    cfg: AssemblyConfig = AssemblyConfig(),
+    min_ins_frac: float = 0.4,
+    min_ins_support: int = 2,
+) -> np.ndarray | None:
+    """Build one haplotype consensus contig over the region window."""
+    if len(idxs) < cfg.min_reads:
+        return None
+    mat, inss = pileup_with_dels(reads, idxs, region_start, region_len)
+    sym, cov = _column_vote(mat)
+    ins_clusters = _cluster_insertions(inss)
+    # insertion decision per cluster
+    ins_at: dict[int, np.ndarray] = {}
+    for pos, seqs in ins_clusters:
+        local_cov = max(int(cov[min(pos, region_len - 1)]), 1)
+        # only count sizeable inserts toward SV-grade insertion consensus;
+        # small ones still pass when high-frequency (sequencing indels vote)
+        n = len(seqs)
+        if n >= max(min_ins_support, int(np.ceil(min_ins_frac * local_cov))):
+            lens = np.array([len(s) for s in seqs])
+            med = np.median(lens)
+            pick = int(np.argmin(np.abs(lens - med)))
+            ins_at[pos] = seqs[pick]
+    # stitch: per column emit consensus base unless deleted/uncovered
+    pieces: list[np.ndarray] = []
+    take = sym < 4  # A/C/G/T columns (N, DEL, or NOCOV are skipped)
+    covered = cov > 0
+    emit_base = take & covered
+    # build output with insertions spliced in
+    positions = np.nonzero(emit_base)[0]
+    base_vals = sym[positions]
+    if positions.size == 0 and not ins_at:
+        return None
+    cut_points = sorted(ins_at)
+    out: list[np.ndarray] = []
+    start = 0
+    for cp in cut_points:
+        seg = base_vals[(positions >= start) & (positions < cp)]
+        out.append(seg.astype(np.uint8))
+        out.append(ins_at[cp].astype(np.uint8))
+        start = cp
+    out.append(base_vals[positions >= start].astype(np.uint8))
+    contig = np.concatenate(out) if out else np.zeros(0, np.uint8)
+    return contig if len(contig) else None
+
+
+def assemble_haplotypes(
+    reads: list[bamio.BamRecord],
+    groups: dict[tuple[int, int], list[int]],
+    region_start: int, region_len: int,
+    cfg: AssemblyConfig = AssemblyConfig(),
+    name_prefix: str = "region",
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """Per (phase-set, haplotype) consensus -> {name: contig} per haplotype.
+
+    Contig naming mirrors the reference's `>a_hp{1,2}_N` convention
+    (4_sv_calling/rename_fa.py:15-23) so the hp tag is parseable downstream.
+    """
+    hp1: dict[str, np.ndarray] = {}
+    hp2: dict[str, np.ndarray] = {}
+    for (ps, hp), idxs in sorted(groups.items()):
+        tgt = hp1 if hp in (0, 1) else hp2
+        contig = consensus_contig(reads, idxs, region_start, region_len, cfg)
+        if contig is None:
+            continue
+        name = f"{name_prefix}_PS{ps}_hp{max(hp,1)}"
+        tgt[name] = contig
+        if hp == 0:
+            # fully-unphased region: same consensus serves both haplotypes
+            hp2[f"{name_prefix}_PS{ps}_hp2"] = contig
+    return hp1, hp2

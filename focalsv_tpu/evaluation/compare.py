@@ -1,0 +1,128 @@
+"""Truvari-style SV benchmarking used as the internal accuracy gate.
+
+Replicates the matching criteria of the reference's evaluation protocol
+(`evaluation/Table2-4/truvari_eval_wgs.sh:20-24`: refdist 500, pctsim 0.5,
+pctsize 0.5, sizemin 50 -- here applied in-process on simulated truth sets,
+since neither truvari nor the GIAB data ship in this environment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from focalsv_tpu.io.vcf import VcfRecord
+from focalsv_tpu.ops import align as alignops
+from focalsv_tpu.ops import encode as enc
+
+
+@dataclass
+class BenchResult:
+    tp: int
+    fp: int
+    fn: int
+    gt_correct: int = 0
+    gt_total: int = 0
+
+    @property
+    def recall(self) -> float:
+        return self.tp / max(self.tp + self.fn, 1)
+
+    @property
+    def precision(self) -> float:
+        return self.tp / max(self.tp + self.fp, 1)
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / max(p + r, 1e-9)
+
+    @property
+    def gt_concordance(self) -> float:
+        return self.gt_correct / max(self.gt_total, 1)
+
+
+def _svlen(r: VcfRecord) -> int:
+    v = r.info.get("SVLEN")
+    if v is not None:
+        return abs(int(v))
+    return abs(len(r.alt) - len(r.ref))
+
+
+def _svtype(r: VcfRecord) -> str:
+    t = r.info.get("SVTYPE")
+    if t:
+        return str(t)
+    return "DEL" if len(r.ref) > len(r.alt) else "INS"
+
+
+def match_records(
+    calls: list[VcfRecord],
+    truth: list[VcfRecord],
+    refdist: int = 500,
+    pctsize: float = 0.5,
+    pctsim: float = 0.5,
+    sizemin: int = 50,
+    check_seq: bool = True,
+) -> BenchResult:
+    """Greedy best-match benchmarking of calls against a truth set."""
+    calls = [c for c in calls if _svlen(c) >= sizemin]
+    truth = [t for t in truth if _svlen(t) >= sizemin]
+    used = np.zeros(len(calls), bool)
+    tp = 0
+    gt_correct = 0
+    gt_total = 0
+    for t in truth:
+        best, best_i = -1.0, -1
+        for i, c in enumerate(calls):
+            if used[i] or c.chrom != t.chrom or _svtype(c) != _svtype(t):
+                continue
+            if abs(c.pos - t.pos) > refdist:
+                continue
+            lt, lc = _svlen(t), _svlen(c)
+            size_sim = min(lt, lc) / max(lt, lc, 1)
+            if size_sim < pctsize:
+                continue
+            if check_seq and _svtype(t) == "INS" and len(t.alt) > 1 and len(c.alt) > 1:
+                sim = alignops.edit_similarity(
+                    enc.encode(t.alt[1:]), enc.encode(c.alt[1:]))
+                if sim < pctsim:
+                    continue
+            score = size_sim - abs(c.pos - t.pos) / (10 * refdist)
+            if score > best:
+                best, best_i = score, i
+        if best_i >= 0:
+            used[best_i] = True
+            tp += 1
+            gt_total += 1
+            tgt = t.gt.replace("|", "/")
+            cgt = calls[best_i].gt.replace("|", "/")
+            if {tgt, tgt[::-1]} & {cgt}:
+                gt_correct += 1
+    fn = len(truth) - tp
+    fp = int((~used).sum())
+    return BenchResult(tp=tp, fp=fp, fn=fn,
+                       gt_correct=gt_correct, gt_total=gt_total)
+
+
+def truth_from_sim(svs, chrom: str, ref: np.ndarray, ref_offset: int = 0) -> list[VcfRecord]:
+    """SimSV truth -> VcfRecords for benchmarking."""
+    out = []
+    for i, sv in enumerate(svs):
+        pos = sv.pos + ref_offset
+        p0 = sv.pos
+        anchor = enc.decode(ref[p0 - 1 : p0])
+        if sv.svtype == "DEL":
+            ref_allele = anchor + enc.decode(ref[p0 : p0 + sv.length])
+            alt_allele = anchor
+            svlen = -sv.length
+        else:
+            ref_allele = anchor
+            alt_allele = anchor + enc.decode(sv.seq)
+            svlen = sv.length
+        out.append(VcfRecord(
+            chrom=chrom, pos=pos, id=f"truth{i}", ref=ref_allele,
+            alt=alt_allele, info={"SVTYPE": sv.svtype, "SVLEN": svlen},
+            gt=sv.genotype))
+    return out

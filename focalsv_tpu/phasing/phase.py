@@ -1,0 +1,232 @@
+"""Region-scale read phasing: pileup -> het SNVs -> MEC partition -> blocks.
+
+Replaces longshot 0.4.x for the pipeline's purpose (reference invokes
+`longshot -O region_phased.bam ... -F` per region, `2_phasing/longshot.py:20`,
+to get HP/PS tags consumed by output_fas.py:31-33).  Design: the reads x
+sites allele matrix is tiny at region scale (~10^2 x 10^2), so phasing is an
+alternating majority-vote optimization of the MEC objective -- site phases
+and read assignments updated as masked matrix reductions; everything is
+fixed-shape tensor math, batchable across regions on device.
+
+Unphased-read allocation mirrors output_fas.py:47-60: with exactly one phase
+block they join both haplotypes; otherwise they join both haplotypes of the
+max-overlap block.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from focalsv_tpu.config import PhasingConfig
+from focalsv_tpu.io import bam as bamio
+
+
+def pileup_matrix(
+    reads: list[bamio.BamRecord], region_start: int, region_len: int,
+) -> np.ndarray:
+    """(n_reads, region_len) uint8 base-code matrix; 255 = not covered."""
+    mat = np.full((len(reads), region_len), 255, np.uint8)
+    for ri, rec in enumerate(reads):
+        rpos = rec.pos - region_start
+        qpos = 0
+        for op, ln in rec.cigar:
+            if op in (bamio.CMATCH, bamio.CEQUAL, bamio.CDIFF):
+                a = max(0, -rpos)
+                b = min(ln, region_len - rpos)
+                if b > a:
+                    mat[ri, rpos + a : rpos + b] = rec.seq[qpos + a : qpos + b]
+                rpos += ln
+                qpos += ln
+            elif op == bamio.CINS or op == bamio.CSOFT_CLIP:
+                qpos += ln
+            elif op in (bamio.CDEL, bamio.CREF_SKIP):
+                rpos += ln
+    return mat
+
+
+@dataclass
+class HetSites:
+    positions: np.ndarray    # (S,) region-local coordinates
+    allele0: np.ndarray      # (S,) uint8 base code (major)
+    allele1: np.ndarray      # (S,) uint8 base code (minor)
+
+
+def find_het_sites(
+    mat: np.ndarray, ref_codes: np.ndarray, cfg: PhasingConfig,
+) -> HetSites:
+    """Columns where two alleles both have frequency in the het band."""
+    R, L = mat.shape
+    counts = np.zeros((L, 4), np.int32)
+    for b in range(4):
+        counts[:, b] = (mat == b).sum(axis=0)
+    depth = counts.sum(axis=1)
+    order = np.argsort(-counts, axis=1, kind="stable")
+    top = np.take_along_axis(counts, order, axis=1)
+    a0 = order[:, 0].astype(np.uint8)
+    a1 = order[:, 1].astype(np.uint8)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac1 = np.where(depth > 0, top[:, 1] / np.maximum(depth, 1), 0.0)
+    is_het = (
+        (depth >= cfg.min_site_depth)
+        & (frac1 >= cfg.min_allele_frac)
+        & (frac1 <= cfg.max_allele_frac)
+        & (top[:, 1] >= 2)
+    )
+    pos = np.nonzero(is_het)[0]
+    return HetSites(positions=pos, allele0=a0[pos], allele1=a1[pos])
+
+
+def allele_matrix(mat: np.ndarray, sites: HetSites) -> np.ndarray:
+    """(R, S) int8: 0 = allele0, 1 = allele1, -1 = missing/other."""
+    sub = mat[:, sites.positions]
+    out = np.full(sub.shape, -1, np.int8)
+    out[sub == sites.allele0[None, :]] = 0
+    out[sub == sites.allele1[None, :]] = 1
+    return out
+
+
+def phase_blocks(A: np.ndarray) -> np.ndarray:
+    """Block id per site: consecutive sites co-covered by >=1 read stay in one
+    block; a connectivity break starts a new block."""
+    S = A.shape[1]
+    block = np.zeros(S, np.int64)
+    if S == 0:
+        return block
+    cur = 0
+    for s in range(1, S):
+        linked = ((A[:, s - 1] >= 0) & (A[:, s] >= 0)).any()
+        if not linked:
+            cur += 1
+        block[s] = cur
+    return block
+
+
+def mec_phase(A: np.ndarray, iters: int = 30, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Alternating MEC optimization.
+
+    Returns (site_phase h (S,) in {0,1}: allele of hap1; read_assign (R,) in
+    {0,1,-1}).  Init: chained adjacent-site correlation (spanning-path
+    phasing), then alternating majority refinement.
+    """
+    R, S = A.shape
+    if S == 0 or R == 0:
+        return np.zeros(S, np.int8), np.full(R, -1, np.int8)
+    cov = A >= 0
+    # adjacent-pair relative phase: same (00/11) vs flipped (01/10)
+    h = np.zeros(S, np.int8)
+    for s in range(1, S):
+        both = cov[:, s - 1] & cov[:, s]
+        if not both.any():
+            h[s] = h[s - 1]
+            continue
+        same = (A[both, s - 1] == A[both, s]).sum()
+        diff = both.sum() - same
+        h[s] = h[s - 1] if same >= diff else 1 - h[s - 1]
+    assign = np.full(R, -1, np.int8)
+    for _ in range(iters):
+        # read assignment: agree with h -> hap1(0), with 1-h -> hap2(1)
+        agree = ((A == h[None, :]) & cov).sum(axis=1)
+        disagree = ((A == (1 - h)[None, :]) & cov).sum(axis=1)
+        new_assign = np.where(agree >= disagree, 0, 1).astype(np.int8)
+        new_assign[(agree + disagree) == 0] = -1
+        # site phase: majority allele among hap1 reads
+        hap1 = new_assign == 0
+        hap2 = new_assign == 1
+        votes1 = ((A == 1) & cov & hap1[:, None]).sum(axis=0) + \
+                 ((A == 0) & cov & hap2[:, None]).sum(axis=0)
+        votes0 = ((A == 0) & cov & hap1[:, None]).sum(axis=0) + \
+                 ((A == 1) & cov & hap2[:, None]).sum(axis=0)
+        new_h = np.where(votes1 > votes0, 1, 0).astype(np.int8)
+        if (new_h == h).all() and (new_assign == assign).all():
+            assign = new_assign
+            break
+        h, assign = new_h, new_assign
+    return h, assign
+
+
+@dataclass
+class PhaseResult:
+    hp: np.ndarray           # (R,) int8: 1/2, 0 = unphased
+    ps: np.ndarray           # (R,) int64: phase-set id (genome coord), -1 unphased
+    n_sites: int
+    n_blocks: int
+    site_positions: np.ndarray   # genome coordinates of het sites
+    site_blocks: np.ndarray
+
+
+def phase_region(
+    reads: list[bamio.BamRecord],
+    ref_codes: np.ndarray,
+    region_start: int,
+    cfg: PhasingConfig = PhasingConfig(),
+) -> PhaseResult:
+    R = len(reads)
+    L = len(ref_codes)
+    if R == 0:
+        return PhaseResult(np.zeros(0, np.int8), np.zeros(0, np.int64), 0, 0,
+                           np.zeros(0, np.int64), np.zeros(0, np.int64))
+    mat = pileup_matrix(reads, region_start, L)
+    sites = find_het_sites(mat, ref_codes, cfg)
+    if len(sites.positions) > cfg.max_sites:
+        # keep the highest-confidence (most balanced) sites
+        sub = mat[:, sites.positions]
+        n1 = (sub == sites.allele1[None, :]).sum(axis=0)
+        n0 = (sub == sites.allele0[None, :]).sum(axis=0)
+        bal = np.minimum(n0, n1) / np.maximum(n0 + n1, 1)
+        keep = np.sort(np.argsort(-bal)[: cfg.max_sites])
+        sites = HetSites(sites.positions[keep], sites.allele0[keep],
+                         sites.allele1[keep])
+    A = allele_matrix(mat, sites)
+    S = A.shape[1]
+    if S == 0:
+        return PhaseResult(np.zeros(R, np.int8), np.full(R, -1, np.int64),
+                           0, 0, np.zeros(0, np.int64), np.zeros(0, np.int64))
+    blocks = phase_blocks(A)
+    hp = np.zeros(R, np.int8)
+    ps = np.full(R, -1, np.int64)
+    for b in np.unique(blocks):
+        bsites = np.nonzero(blocks == b)[0]
+        Ab = A[:, bsites]
+        h, assign = mec_phase(Ab, iters=cfg.mec_iters)
+        ps_id = region_start + int(sites.positions[bsites[0]]) + 1
+        covered = (Ab >= 0).any(axis=1)
+        sel = covered & (assign >= 0) & (hp == 0)
+        hp[sel] = assign[sel] + 1
+        ps[sel] = ps_id
+    return PhaseResult(
+        hp=hp, ps=ps, n_sites=S, n_blocks=int(blocks.max()) + 1,
+        site_positions=sites.positions + region_start, site_blocks=blocks)
+
+
+def group_reads_by_block(
+    reads: list[bamio.BamRecord], pr: PhaseResult,
+) -> dict[tuple[int, int], list[int]]:
+    """(ps, hp) -> read indices, with output_fas.py unphased allocation."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(reads)):
+        if pr.hp[i] > 0:
+            groups.setdefault((int(pr.ps[i]), int(pr.hp[i])), []).append(i)
+    unphased = [i for i in range(len(reads)) if pr.hp[i] == 0]
+    if not groups:
+        return {(-1, 0): unphased} if unphased else {}
+    block_ids = sorted({ps for ps, _ in groups})
+    bounds = {}
+    for b in block_ids:
+        idxs = [i for (ps, hp), v in groups.items() for i in v if ps == b]
+        bounds[b] = (min(reads[i].pos for i in idxs),
+                     max(reads[i].reference_end for i in idxs))
+    for i in unphased:
+        if len(block_ids) == 1:
+            tgt = block_ids[0]
+        else:
+            best, tgt = -np.inf, block_ids[0]
+            for b in block_ids:
+                olp = min(reads[i].reference_end, bounds[b][1]) - \
+                    max(reads[i].pos, bounds[b][0])
+                if olp > best:
+                    best, tgt = olp, b
+        groups.setdefault((tgt, 1), []).append(i)
+        groups.setdefault((tgt, 2), []).append(i)
+    return groups

@@ -1,0 +1,81 @@
+"""Per-region SV calling: phase -> assemble -> align -> extract -> refine.
+
+One region's pass through the stack (the per-region equivalent of reference
+steps 2-5, main.py:104-155): read phasing (phasing/phase.py), per-haplotype
+consensus (assembly/consensus.py), contig alignment + diploid signature
+calling (calling/dippav.py), read-signature FP filtering and dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from focalsv_tpu.assembly.consensus import assemble_haplotypes
+from focalsv_tpu.calling.dedup import dedup_records
+from focalsv_tpu.calling.dippav import call_region_variants
+from focalsv_tpu.calling.fp_filter import fp_filter_records
+from focalsv_tpu.config import PipelineConfig
+from focalsv_tpu.io import bam as bamio
+from focalsv_tpu.io.vcf import VcfRecord
+from focalsv_tpu.phasing.phase import group_reads_by_block, phase_region
+from focalsv_tpu.signatures.reads import extract_read_sigs
+
+
+@dataclass
+class RegionResult:
+    chrom: str
+    start: int
+    end: int
+    records: list[VcfRecord] = field(default_factory=list)
+    dropped: list[VcfRecord] = field(default_factory=list)
+    n_reads: int = 0
+    n_phased: int = 0
+    n_blocks: int = 0
+    n_contigs: int = 0
+
+
+def process_region(
+    reads: list[bamio.BamRecord],
+    ref_codes: np.ndarray,          # region reference window (codes)
+    region_start: int,              # genome coordinate of ref_codes[0]
+    chrom: str,
+    cfg: PipelineConfig,
+    apply_fp_filter: bool = True,
+) -> RegionResult:
+    region_len = len(ref_codes)
+    res = RegionResult(chrom=chrom, start=region_start,
+                       end=region_start + region_len)
+    usable = [r for r in reads
+              if not r.is_unmapped and not r.is_secondary
+              and not r.is_supplementary and r.mapq >= cfg.phasing.min_mapq]
+    res.n_reads = len(usable)
+    if not usable:
+        return res
+    # 1. phase
+    pr = phase_region(usable, ref_codes, region_start, cfg.phasing)
+    res.n_phased = int((pr.hp > 0).sum())
+    res.n_blocks = pr.n_blocks
+    groups = group_reads_by_block(usable, pr)
+    # 2. assemble
+    hp1, hp2 = assemble_haplotypes(usable, groups, region_start, region_len,
+                                   cfg.assembly,
+                                   name_prefix=f"{chrom}_S{region_start}")
+    res.n_contigs = len(hp1) + len(hp2)
+    if not hp1 and not hp2:
+        return res
+    # 3. align contigs + call variants
+    records = call_region_variants(hp1, hp2, ref_codes, region_start, chrom, cfg)
+    # 4. refine: read-signature support filter + dedup
+    if apply_fp_filter and records:
+        read_sigs = extract_read_sigs(
+            reads, min_cigar_mapq=cfg.read_scan.min_mapq,
+            min_svlen=cfg.read_scan.min_sv_size)
+        records, dropped = fp_filter_records(records, read_sigs, cfg.fp_filter)
+        res.dropped.extend(dropped)
+    if records:
+        records, removed = dedup_records(records, cfg.dedup)
+        res.dropped.extend(removed)
+    res.records = records
+    return res
