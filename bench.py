@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--dtype", default="HIFI")
     args = ap.parse_args()
 
+    import jax
+    # persistent compile cache: TPU XLA compiles dominate cold-start time
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from focalsv_tpu.config import preset
     from focalsv_tpu.pipeline.region import process_region
     from focalsv_tpu.testing import simulate as sim

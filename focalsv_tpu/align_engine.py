@@ -77,13 +77,6 @@ def _merge_ops(ops: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return out
 
 
-def _bucket(n: int, lo: int = 64) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
-
-
 class Aligner:
     """Reusable aligner against one target sequence (e.g. a region reference)."""
 
@@ -106,7 +99,7 @@ class Aligner:
             return [(bamio.CINS, lq)]
         if lq == lt and lq <= 32:
             return [(bamio.CMATCH, lq)]
-        band = _bucket(abs(lq - lt) + 64)
+        band = alignops.band_bucket(abs(lq - lt) + 64)
         c = self.cfg
         _, cig = alignops.banded_align_pair(
             qseg, tseg, band=band, match=c.match, mismatch=c.mismatch,

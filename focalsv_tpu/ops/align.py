@@ -258,14 +258,25 @@ def traceback(
 
 
 def _pad_bucket(x: np.ndarray, lo: int = 64) -> np.ndarray:
-    """Pad a 1-D uint8 sequence to the next power-of-two bucket (bounds the
-    number of distinct jit shapes -> compile count)."""
+    """Pad a 1-D uint8 sequence to the next power-of-FOUR bucket.
+
+    Coarse buckets keep the set of distinct jit shapes tiny -- essential on
+    TPU where each new (Lq, Lt, band) combination is a fresh XLA compile.
+    """
     n = lo
     while n < len(x):
-        n *= 2
+        n *= 4
     if n == len(x):
         return x
     return np.concatenate([x, np.full(n - len(x), 5, np.uint8)])
+
+
+def band_bucket(need: int, lo: int = 128) -> int:
+    """Quantize band widths to {128, 512, 2048, 8192, ...} (x4 steps)."""
+    b = lo
+    while b < need:
+        b *= 4
+    return b
 
 
 def banded_align_pair(q, t, band=256, **scoring):
@@ -310,13 +321,12 @@ def edit_similarity(a: np.ndarray, b: np.ndarray, band: int = 128) -> float:
     la, lb = len(a), len(b)
     if max(la, lb) == 0:
         return 1.0
-    need = abs(la - lb) + 16
-    band = max(band, int(2 ** np.ceil(np.log2(need))))
+    band = max(band, band_bucket(abs(la - lb) + 16))
     d_lo = (lb - la) // 2 - band // 2
     d_lo = int(np.clip(d_lo, lb - la - band + 1, 0))
     scores, _ = banded_align_batch(
-        np.asarray(a, np.uint8)[None], np.array([la], np.int32),
-        np.asarray(b, np.uint8)[None], np.array([lb], np.int32),
+        _pad_bucket(np.asarray(a, np.uint8))[None], np.array([la], np.int32),
+        _pad_bucket(np.asarray(b, np.uint8))[None], np.array([lb], np.int32),
         np.array([d_lo], np.int32), band=band,
         match=0, mismatch=-1, gap_open=-1, gap_extend=-1, store_dirs=False)
     dist = -int(scores[0])
