@@ -1,0 +1,197 @@
+"""Chromosome- and genome-level orchestration.
+
+Mirrors the reference contract (`focalsv/focalsv.py` + `main.py:104-155` +
+`4_sv_calling.sh`): per-region crop/phase/assemble, then *chromosome-level*
+variant calling over all regions' contigs -- FP filter against the
+chromosome's read signatures, redundancy removal across regions, step-5
+coverage/GT refinement -- and a final cross-chromosome merge (the
+`grep '#' + cat chr*/... | vcf-sort` step, focalsv.py:66-70).
+
+Output layout mirrors the reference's `out_dir/chrN/regions/Region_*` tree so
+downstream tooling (the target-mode complex-SV caller reads these dirs) finds
+the same artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from focalsv_tpu.calling.dedup import dedup_records
+from focalsv_tpu.calling.fp_filter import fp_filter_records
+from focalsv_tpu.config import DataType, PipelineConfig
+from focalsv_tpu.io import bam as bamio
+from focalsv_tpu.io.bed import Region, read_bed, split_by_chrom, write_bed
+from focalsv_tpu.io.fasta import FastaFile, write_fasta
+from focalsv_tpu.io.vcf import VcfRecord, merge_vcfs, write_vcf
+from focalsv_tpu.pipeline.region import RegionResult, process_region
+from focalsv_tpu.refine.driver import refine_records
+from focalsv_tpu.regions.detect import detect_regions
+from focalsv_tpu.scan.read_scan import calls_to_vcf, scan_chromosome
+from focalsv_tpu.utils.logging import get_logger
+
+logger = get_logger("pipeline")
+
+
+@dataclass
+class ChromosomeResult:
+    chrom: str
+    records: list[VcfRecord] = field(default_factory=list)
+    region_results: list[RegionResult] = field(default_factory=list)
+    n_regions: int = 0
+    seconds: float = 0.0
+
+
+def process_chromosome(
+    bam: bamio.BamReader,
+    fasta: FastaFile,
+    chrom: str,
+    regions: list[Region],
+    cfg: PipelineConfig,
+    out_dir: str | None = None,
+    refine: bool = True,
+) -> ChromosomeResult:
+    """All regions of one chromosome -> refined chromosome VCF records."""
+    t0 = time.perf_counter()
+    res = ChromosomeResult(chrom=chrom, n_regions=len(regions))
+    chrom_len = fasta.lengths().get(chrom)
+    if chrom_len is None:
+        logger.warning("chromosome %s not in reference; skipping", chrom)
+        return res
+    candidates: list[VcfRecord] = []
+    for region in regions:
+        start = max(0, region.start)
+        end = min(chrom_len, region.end)
+        if end <= start:
+            continue
+        reads = list(bam.fetch(chrom, start, end))
+        ref_codes = fasta.fetch(chrom, start, end)
+        rres = process_region(reads, ref_codes, start, chrom, cfg,
+                              apply_fp_filter=False)
+        res.region_results.append(rres)
+        candidates.extend(rres.records)
+        if out_dir:
+            rdir = os.path.join(out_dir, "regions", region.name())
+            os.makedirs(rdir, exist_ok=True)
+    logger.info("%s: %d regions -> %d candidate SVs",
+                chrom, len(regions), len(candidates))
+    if not candidates:
+        res.seconds = time.perf_counter() - t0
+        return res
+    # chromosome-level read-signature scan (FP-filter + step-5 evidence +
+    # draft VCF for CLR/ONT GT imputation)
+    scan_records = bam.fetch(chrom, 0, chrom_len)
+    calls, scan = scan_chromosome(scan_records, chrom, cfg.read_scan,
+                                  genotype=True)
+    draft = calls_to_vcf(calls, fasta.fetch(chrom), 0)
+    # FP filter with the chromosome's read signatures
+    from focalsv_tpu.signatures.sigs import Sigs
+    sig_rows = []
+    names: list[str] = []
+    for s in scan.del_sigs + scan.ins_sigs:
+        sig_rows.append(dict(svtype=0, pos=s.pos, svlen=s.length, contig=0,
+                             rstart=0, rend=1, strand=0, source=0, mapq=60))
+    read_sigs = Sigs.from_rows(sig_rows, names)
+    kept, dropped = fp_filter_records(candidates, read_sigs, cfg.fp_filter)
+    # cross-region dedup
+    kept, removed = dedup_records(kept, cfg.dedup)
+    # step-5 refinement
+    if refine:
+        kept, cov_dropped = refine_records(kept, scan, draft, cfg)
+    res.records = kept
+    res.seconds = time.perf_counter() - t0
+    logger.info("%s: %d final SVs (%.1fs)", chrom, len(kept), res.seconds)
+    return res
+
+
+def run_target_mode(
+    bam_path: str,
+    ref_path: str,
+    out_dir: str,
+    cfg: PipelineConfig,
+    target_bed: str | None = None,
+    chrom: str | None = None,
+    start: int | None = None,
+    end: int | None = None,
+    refine: bool = True,
+) -> str:
+    """Target-mode entry (reference focalsv.py --target_bed | -S/-E).
+
+    Returns the path of the final merged VCF."""
+    os.makedirs(out_dir, exist_ok=True)
+    bam = bamio.BamReader(bam_path)
+    fasta = FastaFile.load(ref_path)
+    if target_bed:
+        regions = read_bed(target_bed)
+    else:
+        assert chrom is not None and start is not None and end is not None
+        regions = [Region(chrom, int(start), int(end))]
+    by_chrom = split_by_chrom(regions)
+    chrom_vcfs = []
+    for c, regs in sorted(by_chrom.items()):
+        cdir = os.path.join(out_dir, c)
+        os.makedirs(cdir, exist_ok=True)
+        cres = process_chromosome(bam, fasta, c, regs, cfg, out_dir=cdir,
+                                  refine=refine)
+        vcf_path = os.path.join(cdir, "FocalSV_Final_SV.vcf")
+        write_vcf(vcf_path, cres.records,
+                  contigs={c: fasta.lengths()[c]} if c in fasta.seqs else None)
+        chrom_vcfs.append(vcf_path)
+    final = os.path.join(out_dir, "FocalSV_Final_SV.vcf")
+    merge_vcfs(chrom_vcfs, final, contigs=fasta.lengths())
+    logger.info("final VCF: %s", final)
+    return final
+
+
+def run_auto_mode(
+    bam_path: str,
+    ref_path: str,
+    out_dir: str,
+    cfg: PipelineConfig,
+    prior_vcf: str | None = None,
+    chroms: list[str] | None = None,
+    refine: bool = True,
+) -> str:
+    """Auto-mode entry: step-0 region detection, then target mode
+    (reference 0_define_region.py :520-543 + focalsv.py chr loop)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bam = bamio.BamReader(bam_path)
+    fasta = FastaFile.load(ref_path)
+    if chroms is None:
+        chroms = [c for c in bam.ref_names if c in fasta.seqs]
+    sig_del: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    sig_ins: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for c in chroms:
+        _, scan = scan_chromosome(bam.fetch(c), c, cfg.read_scan,
+                                  genotype=False)
+        sig_del[c] = (np.array([s.pos for s in scan.del_sigs], np.int64),
+                      np.array([s.length for s in scan.del_sigs], np.int64))
+        sig_ins[c] = (np.array([s.pos for s in scan.ins_sigs], np.int64),
+                      np.array([s.length for s in scan.ins_sigs], np.int64))
+    prior: dict[str, np.ndarray] = {c: np.zeros(0, np.int64) for c in chroms}
+    if prior_vcf:
+        from focalsv_tpu.io.vcf import read_vcf
+        _, prior_records = read_vcf(prior_vcf)
+        for r in prior_records:
+            prior.setdefault(r.chrom, np.zeros(0, np.int64))
+        by_c: dict[str, list[int]] = {}
+        for r in prior_records:
+            by_c.setdefault(r.chrom, []).append(r.pos)
+        for c, poss in by_c.items():
+            prior[c] = np.array(poss, np.int64)
+    regions = detect_regions(sig_del, sig_ins, prior, cfg.detect,
+                             chroms=chroms)
+    # clamp to chromosome bounds
+    lens = fasta.lengths()
+    regions = [Region(r.chrom, max(0, r.start), min(lens[r.chrom], r.end))
+               for r in regions if r.chrom in lens]
+    bed_path = os.path.join(
+        out_dir, f"SV_Regions_{cfg.data_type.value}.bed")
+    write_bed(bed_path, regions)
+    logger.info("auto mode: %d SV-rich regions -> %s", len(regions), bed_path)
+    return run_target_mode(bam_path, ref_path, out_dir, cfg,
+                           target_bed=bed_path, refine=refine)
