@@ -126,6 +126,7 @@ def _chain_one_strand(sub, k, max_pred, max_gap, min_score, min_anchors,
                 pred[i] = j0 + bj
     used = np.zeros(n, bool)
     chains = []
+    kept_spans: list[tuple[float, float]] = []
     for i in np.argsort(-f):
         if used[i] or f[i] < min_score:
             continue
@@ -141,6 +142,15 @@ def _chain_one_strand(sub, k, max_pred, max_gap, min_score, min_anchors,
         path.reverse()
         if len(path) < min_anchors or score < min_score:
             continue
+        # drop near-duplicate subpaths: a chain mostly inside an already
+        # extracted chain's query span is a redundant side-path, and must not
+        # consume the max_chains budget (it would shadow real split chains)
+        qs, qe = float(q[path[0]]), float(q[path[-1]]) + k
+        contained = any(min(qe, ke) - max(qs, ks) > 0.5 * (qe - qs)
+                        for ks, ke in kept_spans)
+        if contained:
+            continue
+        kept_spans.append((qs, qe))
         chains.append(Chain(anchors=a[path].astype(np.int64),
                             score=score, rel_strand=rel))
         if len(chains) >= max_chains:
