@@ -1,0 +1,199 @@
+"""Target-mode TRA/INV/DUP calling over typed BED windows.
+
+Port of `TRA_INV_DUP_call/Target/` on framework machinery:
+
+- INV / TRA / split-read DUP: the same split-segment geometry as auto mode
+  (complexsv/auto.py) restricted to the typed windows
+  (Reads_Based_INV_Call.py:34-213, Reads_Based_TRA_Call.py:160-354,
+  call_DUP.py alignment route :98-140).
+- DUP recovered from INS: each INS call's ALT sequence is re-aligned to the
+  reference near the call; an INS whose sequence maps adjacent to itself is a
+  tandem duplication (align_ins2ref.py:82-131; defaults mapq>=0,
+  size-sim>=0.7, shift<=300, shift-ratio<=0.3; multi-hit ties broken by
+  z-scored (size_sim, -shift, -shift_ratio) sum).
+
+NOTE vs reference: the driver bug where `--bed_file` is read as
+`args.target_bed` (FocalSV-target_TRA_INV_DUP_call.py:13 vs :27) is NOT
+replicated (SURVEY.md 'known quirks').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from focalsv_tpu.align_engine import Aligner
+from focalsv_tpu.complexsv import auto as cauto
+from focalsv_tpu.config import PipelineConfig
+from focalsv_tpu.io import bam as bamio
+from focalsv_tpu.io.bed import Region
+from focalsv_tpu.io.vcf import VcfRecord, sort_records
+from focalsv_tpu.ops import encode as enc
+
+
+def recover_dup_from_ins(
+    ins_records: list[VcfRecord],
+    ref_by_chrom,                       # chrom -> uint8 codes (FastaFile ok)
+    min_mapq: int = 0,
+    min_size_sim: float = 0.7,
+    max_shift: int = 300,
+    max_shift_ratio: float = 0.3,
+    search_flank_factor: int = 4,
+) -> list[VcfRecord]:
+    """INS whose ALT sequence re-aligns adjacent to its own breakpoint = DUP."""
+    out: list[VcfRecord] = []
+    n = 0
+    for rec in ins_records:
+        if rec.svtype != "INS" or len(rec.alt) <= 1:
+            continue
+        ins_seq = enc.encode(rec.alt[1:])
+        svlen = len(ins_seq)
+        try:
+            chrom_seq = ref_by_chrom[rec.chrom] if not hasattr(ref_by_chrom, "fetch") \
+                else ref_by_chrom.fetch(rec.chrom)
+        except KeyError:
+            continue
+        w = svlen * search_flank_factor + 1000
+        ws = max(0, rec.pos - w)
+        we = min(len(chrom_seq), rec.pos + w)
+        window = np.asarray(chrom_seq[ws:we], np.uint8)
+        if len(window) < 100:
+            continue
+        aligner = Aligner(window, t_name=rec.chrom)
+        alns = aligner.align(ins_seq, rec.id, min_chain_score=20)
+        cands = []
+        for a in alns:
+            start_aln = ws + a.t_start
+            end_aln = ws + a.t_end
+            svlen_aln = end_aln - start_aln
+            size_sim = min(svlen_aln, svlen) / max(svlen_aln, svlen, 1)
+            shift = min(abs(start_aln - rec.pos), abs(end_aln - rec.pos))
+            shift_ratio = shift / max(svlen, 1)
+            if (a.mapq >= min_mapq and size_sim >= min_size_sim
+                    and shift <= max_shift and shift_ratio <= max_shift_ratio):
+                cands.append((size_sim, -shift, -shift_ratio,
+                              start_aln, end_aln))
+        if not cands:
+            continue
+        if len(cands) > 1:
+            arr = np.array([c[:3] for c in cands], np.float64)
+            norm = (arr - arr.mean(0)) / (arr.std(0) + 1e-4)
+            best = cands[int(np.argmax(norm.sum(1)))]
+        else:
+            best = cands[0]
+        n += 1
+        out.append(VcfRecord(
+            chrom=rec.chrom, pos=best[3], id=f"focalsv.DUP.recover.{n}",
+            ref=".", alt="<DUP>", qual="20", filter="PASS",
+            info=dict(SVTYPE="DUP", END=best[4], SVLEN=best[4] - best[3],
+                      READS=rec.info.get("TIG_REGION", ".")),
+            gt=rec.gt))
+    return out
+
+
+@dataclass
+class TargetComplexResult:
+    invs: list[VcfRecord] = field(default_factory=list)
+    dups: list[VcfRecord] = field(default_factory=list)
+    tras: list[VcfRecord] = field(default_factory=list)
+
+    def all_records(self) -> list[VcfRecord]:
+        return sort_records(self.invs + self.dups + self.tras)
+
+
+def split_typed_bed(rows: list[tuple[Region, str]]):
+    """Typed BED rows (region, svtype) -> per-type region lists
+    (driver :35-47 split of the 4-column BED)."""
+    by_type: dict[str, list[Region]] = {"DUP": [], "INV": [], "TRA": []}
+    for region, svtype in rows:
+        key = svtype.upper()
+        if key in by_type:
+            by_type[key].append(region)
+    return by_type
+
+
+def call_complex_target(
+    bam: bamio.BamReader,
+    regions_by_type: dict[str, list[Region]],
+    data_type: str,
+    ins_records: list[VcfRecord] | None = None,
+    ref_by_chrom=None,
+    min_sv_size: int = 30,
+    min_support: int = 1,
+) -> TargetComplexResult:
+    """Call complex SVs inside the typed target windows."""
+    res = TargetComplexResult()
+
+    def fetch_window_records(region: Region, pad: int = 2000):
+        return list(bam.fetch(region.chrom, max(0, region.start - pad),
+                              region.end + pad))
+
+    # INV windows: strand-flip geometry, in-window filter
+    for region in regions_by_type.get("INV", []):
+        records = fetch_window_records(region)
+        out = cauto.call_complex_auto({region.chrom: records}, data_type)
+        for chrom, svs in out.invs.items():
+            for s in svs:
+                if s.support < min_support:
+                    continue
+                if s.end - s.start < min_sv_size:
+                    continue
+                if not (region.start - 2000 <= s.start <= region.end + 2000):
+                    continue
+                res.invs.append(VcfRecord(
+                    chrom=chrom, pos=s.start + 1,
+                    id=f"focalsv.INV.{len(res.invs)+1}", ref="N", alt="<INV>",
+                    qual=".", filter="PASS",
+                    info=dict(SVTYPE="INV", END=s.end + 1,
+                              SVLEN=s.end - s.start, SUPPORT=s.support),
+                    gt="./."))
+    # DUP windows: split-read route + INS recovery route
+    for region in regions_by_type.get("DUP", []):
+        records = fetch_window_records(region, pad=5000)
+        out = cauto.call_complex_auto({region.chrom: records}, data_type)
+        for chrom, svs in out.dups.items():
+            for s in svs:
+                if s.support < min_support or s.end - s.start < min_sv_size:
+                    continue
+                res.dups.append(VcfRecord(
+                    chrom=chrom, pos=s.start + 1,
+                    id=f"focalsv.DUP.{len(res.dups)+1}", ref="N", alt="<DUP>",
+                    qual=".", filter="PASS",
+                    info=dict(SVTYPE="DUP", END=s.end + 1,
+                              SVLEN=s.end - s.start, SUPPORT=s.support),
+                    gt="./."))
+    if ins_records and ref_by_chrom is not None:
+        dup_regions = regions_by_type.get("DUP", [])
+        cands = [r for r in ins_records
+                 if any(d.chrom == r.chrom and d.start - 5000 <= r.pos <= d.end + 5000
+                        for d in dup_regions)] if dup_regions else list(ins_records)
+        res.dups.extend(recover_dup_from_ins(cands, ref_by_chrom))
+    # TRA windows: cross-chromosome split pairs; needs the mate chromosome's
+    # supplementary records too, so fetch genome-wide reads of window qnames
+    tra_regions = regions_by_type.get("TRA", [])
+    if tra_regions:
+        by_chrom: dict[str, list] = {}
+        for region in tra_regions:
+            by_chrom.setdefault(region.chrom, []).extend(
+                fetch_window_records(region))
+        # include all records of other chromosomes sharing qnames
+        qnames = {r.name for recs in by_chrom.values() for r in recs}
+        for chrom in bam.ref_names:
+            recs = by_chrom.setdefault(chrom, [])
+            have = {(r.name, r.flag, r.pos) for r in recs}
+            for rec in bam.fetch(chrom):
+                if rec.name in qnames and (rec.name, rec.flag, rec.pos) not in have:
+                    recs.append(rec)
+        out = cauto.call_complex_auto(by_chrom, data_type)
+        for chrom, pos, alt, sup, mq in out.tras:
+            if sup < min_support:
+                continue
+            if not any(r.chrom == chrom and r.start - 2000 <= pos <= r.end + 2000
+                       for r in tra_regions):
+                continue
+            res.tras.append(VcfRecord(
+                chrom=chrom, pos=pos + 1, id=f"focalsv.BND.{len(res.tras)+1}",
+                ref="N", alt=alt, qual=".", filter="PASS",
+                info=dict(SVTYPE="TRA", SUPPORT=sup), gt="./."))
+    return res
