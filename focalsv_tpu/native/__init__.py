@@ -1,0 +1,94 @@
+"""Native (C++) runtime components, loaded through ctypes.
+
+The library is built lazily with g++ on first import (and cached next to the
+sources); every caller keeps a pure-Python fallback, so the framework still
+works where no compiler exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libfocalsv_native.so")
+_SRC = os.path.join(_DIR, "chain.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+             "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.chain_dp.restype = None
+        lib.chain_dp.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.banded_edit_distance.restype = ctypes.c_int64
+        lib.banded_edit_distance.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def chain_dp(t: np.ndarray, q: np.ndarray, k: int, max_pred: int,
+             max_gap: int):
+    """Native chain DP; returns (f float64, pred int64) or None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = t.shape[0]
+    t64 = np.ascontiguousarray(t, np.int64)
+    q64 = np.ascontiguousarray(q, np.int64)
+    f = np.zeros(n, np.float64)
+    pred = np.zeros(n, np.int64)
+    lib.chain_dp(
+        t64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        q64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, k, max_pred, max_gap,
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        pred.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return f, pred
+
+
+def banded_edit_distance(a: np.ndarray, b: np.ndarray, band: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    a8 = np.ascontiguousarray(a, np.uint8)
+    b8 = np.ascontiguousarray(b, np.uint8)
+    return int(lib.banded_edit_distance(
+        a8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(a8),
+        b8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b8),
+        band))

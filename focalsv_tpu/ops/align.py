@@ -321,6 +321,15 @@ def edit_similarity(a: np.ndarray, b: np.ndarray, band: int = 128) -> float:
     la, lb = len(a), len(b)
     if max(la, lb) == 0:
         return 1.0
+    # host-native path for short pairs: one ctypes call beats a device
+    # dispatch round-trip at these sizes
+    if max(la, lb) <= 20_000:
+        from focalsv_tpu import native
+        dist = native.banded_edit_distance(
+            np.asarray(a, np.uint8), np.asarray(b, np.uint8),
+            band=abs(la - lb) + 64)
+        if dist is not None:
+            return 1.0 - dist / max(la, lb)
     band = max(band, band_bucket(abs(la - lb) + 16))
     d_lo = (lb - la) // 2 - band // 2
     d_lo = int(np.clip(d_lo, lb - la - band + 1, 0))

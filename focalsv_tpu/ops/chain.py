@@ -108,22 +108,27 @@ def _chain_one_strand(sub, k, max_pred, max_gap, min_score, min_anchors,
     a = sub[order]
     t = a[:, 0].astype(np.float64)
     q = a[:, 1].astype(np.float64)
-    f = np.full(n, float(k))
-    pred = np.full(n, -1, np.int64)
-    L = min(max_pred, n)
-    for i in range(1, n):
-        j0 = max(0, i - L)
-        dt = t[i] - t[j0:i]
-        dq = q[i] - q[j0:i]
-        ok = (dt > 0) & (dq > 0) & (dt <= max_gap) & (dq <= max_gap)
-        match = np.minimum(np.minimum(dq, dt), k)
-        sc = f[j0:i] + match - _gap_cost(dq, dt, k)
-        sc = np.where(ok, sc, -np.inf)
-        if sc.size:
-            bj = int(np.argmax(sc))
-            if sc[bj] > f[i]:
-                f[i] = sc[bj]
-                pred[i] = j0 + bj
+    from focalsv_tpu import native
+    got = native.chain_dp(a[:, 0], a[:, 1], k, max_pred, max_gap)
+    if got is not None:
+        f, pred = got
+    else:
+        f = np.full(n, float(k))
+        pred = np.full(n, -1, np.int64)
+        L = min(max_pred, n)
+        for i in range(1, n):
+            j0 = max(0, i - L)
+            dt = t[i] - t[j0:i]
+            dq = q[i] - q[j0:i]
+            ok = (dt > 0) & (dq > 0) & (dt <= max_gap) & (dq <= max_gap)
+            match = np.minimum(np.minimum(dq, dt), k)
+            sc = f[j0:i] + match - _gap_cost(dq, dt, k)
+            sc = np.where(ok, sc, -np.inf)
+            if sc.size:
+                bj = int(np.argmax(sc))
+                if sc[bj] > f[i]:
+                    f[i] = sc[bj]
+                    pred[i] = j0 + bj
     used = np.zeros(n, bool)
     chains = []
     kept_spans: list[tuple[float, float]] = []
