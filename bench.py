@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--ref-len", type=int, default=30_000)
     ap.add_argument("--coverage", type=float, default=20.0)
     ap.add_argument("--dtype", default="HIFI")
+    ap.add_argument("--workers", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -49,11 +50,14 @@ def main():
     r0 = regions[0]
     process_region(r0.reads, r0.ref, 0, r0.chrom, cfg)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.perf_counter()
-    n_records = 0
-    for rg in regions:
-        res = process_region(rg.reads, rg.ref, 0, rg.chrom, cfg)
-        n_records += len(res.records)
+    with ThreadPoolExecutor(max_workers=args.workers) as ex:
+        results = list(ex.map(
+            lambda rg: process_region(rg.reads, rg.ref, 0, rg.chrom, cfg),
+            regions))
+    n_records = sum(len(r.records) for r in results)
     dt = time.perf_counter() - t0
 
     rps = args.regions / dt

@@ -54,8 +54,14 @@ def process_chromosome(
     cfg: PipelineConfig,
     out_dir: str | None = None,
     refine: bool = True,
+    num_workers: int = 4,
 ) -> ChromosomeResult:
-    """All regions of one chromosome -> refined chromosome VCF records."""
+    """All regions of one chromosome -> refined chromosome VCF records.
+
+    Regions run on a thread pool (numpy/native code releases the GIL and JAX
+    dispatch is thread-safe), overlapping host work with device calls -- the
+    TPU-side analog of the reference's joblib.Parallel over regions.
+    """
     t0 = time.perf_counter()
     res = ChromosomeResult(chrom=chrom, n_regions=len(regions))
     chrom_len = fasta.lengths().get(chrom)
@@ -63,20 +69,32 @@ def process_chromosome(
         logger.warning("chromosome %s not in reference; skipping", chrom)
         return res
     candidates: list[VcfRecord] = []
-    for region in regions:
+
+    def one(region: Region) -> RegionResult | None:
         start = max(0, region.start)
         end = min(chrom_len, region.end)
         if end <= start:
-            continue
+            return None
         reads = list(bam.fetch(chrom, start, end))
         ref_codes = fasta.fetch(chrom, start, end)
         rres = process_region(reads, ref_codes, start, chrom, cfg,
                               apply_fp_filter=False)
-        res.region_results.append(rres)
-        candidates.extend(rres.records)
         if out_dir:
             rdir = os.path.join(out_dir, "regions", region.name())
             os.makedirs(rdir, exist_ok=True)
+        return rres
+
+    if num_workers > 1 and len(regions) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            results = list(ex.map(one, regions))
+    else:
+        results = [one(r) for r in regions]
+    for rres in results:
+        if rres is None:
+            continue
+        res.region_results.append(rres)
+        candidates.extend(rres.records)
     logger.info("%s: %d regions -> %d candidate SVs",
                 chrom, len(regions), len(candidates))
     if not candidates:
