@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="population prior VCF for auto mode")
     p.add_argument("--no_refine", action="store_true",
                    help="skip step-5 coverage/GT refinement")
+    p.add_argument("--resume", action="store_true",
+                   help="skip chromosomes whose final VCF already exists")
     p.add_argument("--num_threads", "-t", type=int, default=8)
     return p
 
@@ -58,7 +60,7 @@ def main(argv=None) -> int:
     elif args.target_bed:
         final = pipeline_main.run_target_mode(
             args.bam_file, args.ref_file, args.out_dir, cfg,
-            target_bed=args.target_bed, refine=refine)
+            target_bed=args.target_bed, refine=refine, resume=args.resume)
     else:
         if args.region_start is None or args.region_end is None or not args.chr_num:
             print("need --target_bed or (-S, -E, --chr_num)", file=sys.stderr)

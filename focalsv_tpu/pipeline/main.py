@@ -37,6 +37,34 @@ from focalsv_tpu.utils.logging import get_logger
 logger = get_logger("pipeline")
 
 
+def _write_region_artifacts(rdir: str, rres: RegionResult, chrom: str,
+                            chrom_len: int) -> None:
+    """Reference-layout region artifacts: region_phased.bam with HP/PS tags
+    (longshot-style, consumed by target-mode complex SV tooling) and the
+    per-phase-block haplotype FASTAs + assembled contigs
+    (PS<ps>_hp{1,2}.fa / HP{1,2}.fa, output_fas.py + combine_fas.py layout)."""
+    try:
+        if rres.usable_reads and rres.phase_hp is not None:
+            w = bamio.BamWriter(os.path.join(rdir, "region_phased.bam"),
+                                [chrom], [chrom_len])
+            for i, rec in enumerate(rres.usable_reads):
+                tags = dict(rec.tags)
+                if rres.phase_hp[i] > 0:
+                    tags["HP"] = int(rres.phase_hp[i])
+                    tags["PS"] = int(rres.phase_ps[i])
+                w.write(bamio.BamRecord(
+                    name=rec.name, flag=rec.flag, ref_id=0, pos=rec.pos,
+                    mapq=rec.mapq, cigar=rec.cigar, seq=rec.seq,
+                    qual=rec.qual, tags=tags))
+            w.close()
+        for hp_idx, contigs in ((1, rres.contigs_hp1), (2, rres.contigs_hp2)):
+            if contigs:
+                write_fasta(os.path.join(rdir, f"HP{hp_idx}.fa"),
+                            list(contigs.items()))
+    except Exception:
+        logger.exception("failed writing artifacts for %s", rdir)
+
+
 @dataclass
 class ChromosomeResult:
     chrom: str
@@ -75,13 +103,21 @@ def process_chromosome(
         end = min(chrom_len, region.end)
         if end <= start:
             return None
-        reads = list(bam.fetch(chrom, start, end))
-        ref_codes = fasta.fetch(chrom, start, end)
-        rres = process_region(reads, ref_codes, start, chrom, cfg,
-                              apply_fp_filter=False)
+        try:
+            reads = list(bam.fetch(chrom, start, end))
+            ref_codes = fasta.fetch(chrom, start, end)
+            rres = process_region(reads, ref_codes, start, chrom, cfg,
+                                  apply_fp_filter=False)
+        except Exception:
+            # failure isolation: a dead region yields no VCF lines, the rest
+            # of the chromosome continues (reference main.run_command
+            # swallow-and-continue semantics, main.py:10-17)
+            logger.exception("region %s failed; skipping", region.name())
+            return None
         if out_dir:
             rdir = os.path.join(out_dir, "regions", region.name())
             os.makedirs(rdir, exist_ok=True)
+            _write_region_artifacts(rdir, rres, chrom, chrom_len)
         return rres
 
     if num_workers > 1 and len(regions) > 1:
@@ -136,6 +172,7 @@ def run_target_mode(
     start: int | None = None,
     end: int | None = None,
     refine: bool = True,
+    resume: bool = False,
 ) -> str:
     """Target-mode entry (reference focalsv.py --target_bed | -S/-E).
 
@@ -153,9 +190,16 @@ def run_target_mode(
     for c, regs in sorted(by_chrom.items()):
         cdir = os.path.join(out_dir, c)
         os.makedirs(cdir, exist_ok=True)
+        vcf_path = os.path.join(cdir, "FocalSV_Final_SV.vcf")
+        if resume and os.path.exists(vcf_path):
+            # file-based checkpointing: chromosome outputs persist, rerun
+            # skips completed ones (the reference's implicit resume model,
+            # SURVEY.md section 5 checkpoint/resume)
+            logger.info("%s: resume -- %s exists, skipping", c, vcf_path)
+            chrom_vcfs.append(vcf_path)
+            continue
         cres = process_chromosome(bam, fasta, c, regs, cfg, out_dir=cdir,
                                   refine=refine)
-        vcf_path = os.path.join(cdir, "FocalSV_Final_SV.vcf")
         write_vcf(vcf_path, cres.records,
                   contigs={c: fasta.lengths()[c]} if c in fasta.seqs else None)
         chrom_vcfs.append(vcf_path)

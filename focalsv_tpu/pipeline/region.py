@@ -34,6 +34,12 @@ class RegionResult:
     n_phased: int = 0
     n_blocks: int = 0
     n_contigs: int = 0
+    # artifacts for reference-layout output (region_phased.bam, PS*_hp*.fa)
+    usable_reads: list = field(default_factory=list)
+    phase_hp: np.ndarray | None = None
+    phase_ps: np.ndarray | None = None
+    contigs_hp1: dict = field(default_factory=dict)
+    contigs_hp2: dict = field(default_factory=dict)
 
 
 def process_region(
@@ -63,6 +69,9 @@ def process_region(
                                    cfg.assembly,
                                    name_prefix=f"{chrom}_S{region_start}")
     res.n_contigs = len(hp1) + len(hp2)
+    res.usable_reads = usable
+    res.phase_hp, res.phase_ps = pr.hp, pr.ps
+    res.contigs_hp1, res.contigs_hp2 = hp1, hp2
     if not hp1 and not hp2:
         return res
     # 3. align contigs + call variants
