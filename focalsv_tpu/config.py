@@ -88,6 +88,7 @@ class PhasingConfig:
     max_sites: int = 512                # padded SNV axis per region tile
     mec_iters: int = 30                 # iterated-flip MEC refinement rounds
     err_rate: float = 0.05              # base error for likelihood model
+    use_pairhmm: bool = False           # pair-HMM realignment at het sites
 
 
 @dataclasses.dataclass(frozen=True)

@@ -178,7 +178,11 @@ def phase_region(
         keep = np.sort(np.argsort(-bal)[: cfg.max_sites])
         sites = HetSites(sites.positions[keep], sites.allele0[keep],
                          sites.allele1[keep])
-    A = allele_matrix(mat, sites)
+    if cfg.use_pairhmm:
+        from focalsv_tpu.phasing.realign import realign_allele_matrix
+        A = realign_allele_matrix(reads, sites, ref_codes, region_start)
+    else:
+        A = allele_matrix(mat, sites)
     S = A.shape[1]
     if S == 0:
         return PhaseResult(np.zeros(R, np.int8), np.full(R, -1, np.int64),
