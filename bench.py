@@ -52,11 +52,14 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from focalsv_tpu.parallel.batch_executor import dp_batching
+
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=args.workers) as ex:
-        results = list(ex.map(
-            lambda rg: process_region(rg.reads, rg.ref, 0, rg.chrom, cfg),
-            regions))
+    with dp_batching(max_wait_ms=2.0):
+        with ThreadPoolExecutor(max_workers=args.workers) as ex:
+            results = list(ex.map(
+                lambda rg: process_region(rg.reads, rg.ref, 0, rg.chrom, cfg),
+                regions))
     n_records = sum(len(r.records) for r in results)
     dt = time.perf_counter() - t0
 

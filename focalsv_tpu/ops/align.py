@@ -290,18 +290,31 @@ def band_bucket(need: int, lo: int = 128) -> int:
     return b
 
 
-def banded_align_pair(q, t, band=256, **scoring):
-    """Convenience single-pair wrapper: returns (score, cigar)."""
+def banded_align_pair(q, t, band=256, match=2, mismatch=-4, gap_open=-4,
+                      gap_extend=-2):
+    """Convenience single-pair wrapper: returns (score, cigar).
+
+    When a DPBatcher is active (parallel/batch_executor.dp_batching), the job
+    routes through the cross-thread batching service so concurrent pairs run
+    as one device batch."""
     q = np.asarray(q, np.uint8)
     t = np.asarray(t, np.uint8)
     d_lo = (len(t) - len(q)) // 2 - band // 2
     # ensure k_end in range and diagonal start reachable
     d_lo = int(np.clip(d_lo, len(t) - len(q) - band + 1, 0))
+    from focalsv_tpu.parallel import batch_executor
+    batcher = batch_executor.get_active()
+    if batcher is not None:
+        score, dirs = batcher.align(q, t, band, match, mismatch,
+                                    gap_open, gap_extend, d_lo)
+        cig = traceback(np.asarray(dirs), len(q), len(t), d_lo)
+        return score, cig
     qp, tp = _pad_bucket(q), _pad_bucket(t)
     scores, dirs = banded_align(
         qp[None], np.array([len(q)], np.int32),
         tp[None], np.array([len(t)], np.int32),
-        np.array([d_lo], np.int32), band=band, **scoring)
+        np.array([d_lo], np.int32), band=band, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend)
     cig = traceback(np.asarray(dirs[0]), len(q), len(t), d_lo)
     return int(scores[0]), cig
 

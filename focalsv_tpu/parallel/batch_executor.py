@@ -1,0 +1,154 @@
+"""Cross-thread batching executor for banded-DP jobs.
+
+The Pallas DP kernel processes 128 alignment pairs per grid step
+(ops/align_pallas.py), but the pipeline's aligner naturally produces one gap
+fill at a time.  This module is the scheduler in between: worker threads
+submit (query, target, band) jobs and block; a dispatcher groups jobs with
+identical bucketed shapes/scoring, pads them into one device batch, launches
+a single `banded_align` call, and resolves per-job (score, dirs) futures.
+Tracebacks stay in the calling threads so the dispatcher never becomes
+host-bound.
+
+This is the TPU-side answer to the reference's process-pool scheduling (each
+joblib worker owning a whole native tool run): instead of N processes x 1
+alignment, one device x N-wide alignment batches.
+
+Usage:
+    with dp_batching(max_wait_ms=2.0):
+        ... thread-pooled region processing ...
+"""
+
+from __future__ import annotations
+
+import contextlib
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from focalsv_tpu.ops import align as alignops
+
+_active: "DPBatcher | None" = None
+_lock = threading.Lock()
+
+
+@dataclass
+class _Job:
+    q: np.ndarray
+    t: np.ndarray
+    d_lo: int
+    key: tuple                      # (Lq_bucket, Lt_bucket, band, scoring)
+    event: threading.Event = field(default_factory=threading.Event)
+    score: int | None = None
+    dirs: np.ndarray | None = None
+
+
+class DPBatcher:
+    def __init__(self, max_batch: int = 128, max_wait_ms: float = 2.0):
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.q: queue.Queue[_Job | None] = queue.Queue()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.n_batches = 0
+        self.n_jobs = 0
+        self.thread.start()
+
+    # -- worker side --------------------------------------------------------
+
+    def align(self, q: np.ndarray, t: np.ndarray, band: int,
+              match: int, mismatch: int, gap_open: int, gap_extend: int,
+              d_lo: int) -> tuple[int, np.ndarray]:
+        qp = alignops._pad_bucket(np.asarray(q, np.uint8))
+        tp = alignops._pad_bucket(np.asarray(t, np.uint8))
+        job = _Job(q=qp, t=tp, d_lo=d_lo,
+                   key=(len(qp), len(tp), band,
+                        match, mismatch, gap_open, gap_extend))
+        # stash true lengths for the batch call
+        job.q_len = len(q)
+        job.t_len = len(t)
+        self.q.put(job)
+        job.event.wait()
+        return job.score, job.dirs
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _loop(self):
+        import time
+        pending: dict[tuple, list[_Job]] = {}
+        deadline: dict[tuple, float] = {}
+        while True:
+            timeout = None
+            if deadline:
+                timeout = max(0.0, min(deadline.values()) - time.monotonic())
+            try:
+                job = self.q.get(timeout=timeout if timeout is not None else 0.2)
+                if job is None:
+                    # flush everything, then exit
+                    for jobs in pending.values():
+                        self._run_batch(jobs)
+                    return
+                pending.setdefault(job.key, []).append(job)
+                deadline.setdefault(job.key, time.monotonic() + self.max_wait)
+                if len(pending[job.key]) >= self.max_batch:
+                    jobs = pending.pop(job.key)
+                    deadline.pop(job.key, None)
+                    self._run_batch(jobs)
+            except queue.Empty:
+                now = time.monotonic()
+                for key in [k for k, d in deadline.items() if d <= now]:
+                    jobs = pending.pop(key, [])
+                    deadline.pop(key, None)
+                    if jobs:
+                        self._run_batch(jobs)
+
+    def _run_batch(self, jobs: list[_Job]):
+        (Lq, Lt, band, match, mismatch, gap_open, gap_extend) = jobs[0].key
+        B = len(jobs)
+        q = np.stack([j.q for j in jobs])
+        t = np.stack([j.t for j in jobs])
+        q_len = np.array([j.q_len for j in jobs], np.int32)
+        t_len = np.array([j.t_len for j in jobs], np.int32)
+        d_lo = np.array([j.d_lo for j in jobs], np.int32)
+        try:
+            scores, dirs = alignops.banded_align(
+                q, q_len, t, t_len, d_lo, band=band, match=match,
+                mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
+                store_dirs=True)
+            scores = np.asarray(scores)
+            dirs = np.asarray(dirs)
+            for i, j in enumerate(jobs):
+                j.score = int(scores[i])
+                j.dirs = dirs[i]
+                j.event.set()
+            self.n_batches += 1
+            self.n_jobs += B
+        except Exception:
+            for j in jobs:
+                j.score = alignops.NEG
+                j.dirs = np.zeros((Lq, band), np.uint8)
+                j.event.set()
+
+    def shutdown(self):
+        self.q.put(None)
+        self.thread.join(timeout=10)
+
+
+def get_active() -> DPBatcher | None:
+    return _active
+
+
+@contextlib.contextmanager
+def dp_batching(max_batch: int = 128, max_wait_ms: float = 2.0):
+    """Activate cross-thread DP batching for the enclosed block."""
+    global _active
+    with _lock:
+        prev = _active
+        batcher = DPBatcher(max_batch=max_batch, max_wait_ms=max_wait_ms)
+        _active = batcher
+    try:
+        yield batcher
+    finally:
+        with _lock:
+            _active = prev
+        batcher.shutdown()
