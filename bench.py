@@ -52,14 +52,15 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from focalsv_tpu.parallel.batch_executor import dp_batching
-
+    # NOTE: the DP batching executor (parallel/batch_executor.py) measured
+    # SLOWER here: with <128 concurrent heterogeneous jobs, its single
+    # dispatcher serializes device calls that otherwise overlap in-flight
+    # across threads.  It stays opt-in for homogeneous bulk workloads.
     t0 = time.perf_counter()
-    with dp_batching(max_wait_ms=2.0):
-        with ThreadPoolExecutor(max_workers=args.workers) as ex:
-            results = list(ex.map(
-                lambda rg: process_region(rg.reads, rg.ref, 0, rg.chrom, cfg),
-                regions))
+    with ThreadPoolExecutor(max_workers=args.workers) as ex:
+        results = list(ex.map(
+            lambda rg: process_region(rg.reads, rg.ref, 0, rg.chrom, cfg),
+            regions))
     n_records = sum(len(r.records) for r in results)
     dt = time.perf_counter() - t0
 

@@ -16,9 +16,13 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libfocalsv_native.so")
 _SRC = os.path.join(_DIR, "chain.cpp")
+_SCAN_SO = os.path.join(_DIR, "libfocalsv_bamscan.so")
+_SCAN_SRC = os.path.join(_DIR, "bamscan.cpp")
 
 _lib = None
 _tried = False
+_scan_lib = None
+_scan_tried = False
 
 
 def _build() -> bool:
@@ -30,6 +34,35 @@ def _build() -> bool:
         return True
     except Exception:
         return False
+
+
+def get_scan_lib():
+    """The native BAM scanner library, or None."""
+    global _scan_lib, _scan_tried
+    if _scan_lib is not None or _scan_tried:
+        return _scan_lib
+    _scan_tried = True
+    if not os.path.exists(_SCAN_SO) or (
+            os.path.exists(_SCAN_SRC)
+            and os.path.getmtime(_SCAN_SRC) > os.path.getmtime(_SCAN_SO)):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _SCAN_SRC,
+                 "-o", _SCAN_SO, "-lz"],
+                check=True, capture_output=True, timeout=180)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SCAN_SO)
+        lib.bamscan_run.restype = ctypes.c_int
+        lib.bamscan_run.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 5
+        lib.bamscan_n_records.restype = ctypes.c_int64
+        lib.bamscan_n_sigs.restype = ctypes.c_int64
+        lib.bamscan_seq_blob_len.restype = ctypes.c_int64
+        _scan_lib = lib
+    except OSError:
+        _scan_lib = None
+    return _scan_lib
 
 
 def get_lib():

@@ -122,11 +122,8 @@ def process_chromosome(
 
     if num_workers > 1 and len(regions) > 1:
         from concurrent.futures import ThreadPoolExecutor
-
-        from focalsv_tpu.parallel.batch_executor import dp_batching
-        with dp_batching(max_wait_ms=2.0):
-            with ThreadPoolExecutor(max_workers=num_workers) as ex:
-                results = list(ex.map(one, regions))
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            results = list(ex.map(one, regions))
     else:
         results = [one(r) for r in regions]
     for rres in results:
