@@ -65,6 +65,26 @@ def _write_region_artifacts(rdir: str, rres: RegionResult, chrom: str,
         logger.exception("failed writing artifacts for %s", rdir)
 
 
+_native_scan_cache: dict = {}
+
+
+def _native_chrom_scan(bam: bamio.BamReader, chrom: str,
+                       cfg: PipelineConfig):
+    """One native whole-BAM scan, cached per (bam path); returns the
+    requested chromosome's ScanResult or None if the library is absent."""
+    key = bam.bgzf.path
+    if key not in _native_scan_cache:
+        try:
+            from focalsv_tpu.scan.fast_scan import scan_bam_native
+            _native_scan_cache[key] = scan_bam_native(
+                key, bam.ref_names, cfg.read_scan)
+        except Exception:
+            logger.exception("native scan failed; falling back")
+            _native_scan_cache[key] = None
+    scans = _native_scan_cache[key]
+    return scans.get(chrom) if scans else None
+
+
 @dataclass
 class ChromosomeResult:
     chrom: str
@@ -137,10 +157,18 @@ def process_chromosome(
         res.seconds = time.perf_counter() - t0
         return res
     # chromosome-level read-signature scan (FP-filter + step-5 evidence +
-    # draft VCF for CLR/ONT GT imputation)
-    scan_records = bam.fetch(chrom, 0, chrom_len)
-    calls, scan = scan_chromosome(scan_records, chrom, cfg.read_scan,
-                                  genotype=True)
+    # draft VCF for CLR/ONT GT imputation); native C++ scanner when available
+    scan = _native_chrom_scan(bam, chrom, cfg)
+    if scan is not None:
+        from focalsv_tpu.scan.read_scan import cluster_signatures
+        calls = cluster_signatures(scan.del_sigs, chrom, "DEL",
+                                   cfg.read_scan, scan, True)
+        calls += cluster_signatures(scan.ins_sigs, chrom, "INS",
+                                    cfg.read_scan, scan, True)
+        calls.sort(key=lambda c: c.pos)
+    else:
+        calls, scan = scan_chromosome(bam.fetch(chrom, 0, chrom_len), chrom,
+                                      cfg.read_scan, genotype=True)
     draft = calls_to_vcf(calls, fasta.fetch(chrom), 0)
     # FP filter with the chromosome's read signatures
     from focalsv_tpu.signatures.sigs import Sigs
@@ -228,8 +256,10 @@ def run_auto_mode(
     sig_del: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     sig_ins: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for c in chroms:
-        _, scan = scan_chromosome(bam.fetch(c), c, cfg.read_scan,
-                                  genotype=False)
+        scan = _native_chrom_scan(bam, c, cfg)
+        if scan is None:
+            _, scan = scan_chromosome(bam.fetch(c), c, cfg.read_scan,
+                                      genotype=False)
         sig_del[c] = (np.array([s.pos for s in scan.del_sigs], np.int64),
                       np.array([s.length for s in scan.del_sigs], np.int64))
         sig_ins[c] = (np.array([s.pos for s in scan.ins_sigs], np.int64),
