@@ -32,6 +32,7 @@ def test_group_reads_unphased_duplication():
 
 @pytest.mark.parametrize("dtype,err", [
     (DataType.HIFI, dict(sub_rate=0.002)),
+    (DataType.CLR, dict(sub_rate=0.06, ins_rate=0.03, del_rate=0.03)),
     (DataType.ONT, dict(sub_rate=0.04, ins_rate=0.02, del_rate=0.02)),
 ])
 def test_region_end_to_end(dtype, err):
