@@ -290,6 +290,79 @@ def band_bucket(need: int, lo: int = 128) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("band", "max_rows"))
+def traceback_device(dirs, q_len, t_len, d_lo, band: int, max_rows: int):
+    """On-device traceback: walks the direction bits with a vmapped
+    while_loop and emits the op string (0=M, 1=D, 2=I, 255=end) -- so the
+    large (M, W) dirs arrays never leave the device; only ~(2M) bytes of ops
+    transfer to the host.  Mirrors ops/align.py::traceback exactly."""
+    W = band
+    M = max_rows
+    BUF = 2 * M + W + 8
+
+    def one(d, qn, tn, dlo):
+        ops0 = jnp.full((BUF,), 255, jnp.uint8)
+
+        def cond(c):
+            i, j, state, n, ops = c
+            return ((i > 0) | (j > 0)) & (n < BUF)
+
+        def body(c):
+            i, j, state, n, ops = c
+            k = j - i - dlo
+            in_band = (k >= 0) & (k < W) & (i >= 1)
+            p = jnp.where(in_band,
+                          d[jnp.clip(i - 1, 0, M - 1),
+                            jnp.clip(k, 0, W - 1)].astype(jnp.int32), 0)
+            h2 = p & DIR_H_MASK
+            # faithful casing of the host traceback loop:
+            caseA = i == 0                                   # forced D
+            caseB = (~caseA) & (j == 0)                      # forced I
+            interior = (~caseA) & (~caseB)
+            caseC0 = interior & (state == 0) & (h2 == 0)     # diag -> M
+            caseC1 = interior & (state == 0) & (h2 != 0)     # switch state
+            caseD = interior & (state == 1)                  # D, maybe extend
+            caseE = interior & (state == 2)                  # I, maybe extend
+            emitM = caseC0
+            emitD = caseA | caseD
+            emitI = caseB | caseE
+            code = jnp.where(emitM, 0, jnp.where(emitD, 1, 2)).astype(jnp.uint8)
+            do_emit = emitM | emitD | emitI
+            ops = jnp.where(do_emit, ops.at[jnp.clip(n, 0, BUF - 1)].set(code),
+                            ops)
+            n = n + do_emit.astype(jnp.int32)
+            i = i - (emitM | emitI).astype(jnp.int32)
+            j = j - (emitM | emitD).astype(jnp.int32)
+            state = jnp.where(
+                caseC1, h2,
+                jnp.where(caseD, jnp.where((p & DIR_E_EXT) != 0, 1, 0),
+                          jnp.where(caseE, jnp.where((p & DIR_F_EXT) != 0, 2, 0),
+                                    state)))
+            return (i, j, state, n, ops)
+
+        i0 = qn.astype(jnp.int32)
+        j0 = tn.astype(jnp.int32)
+        out = jax.lax.while_loop(cond, body,
+                                 (i0, j0, jnp.int32(0), jnp.int32(0), ops0))
+        return out[4], out[3]
+
+    return jax.vmap(one)(dirs, q_len, t_len, d_lo)
+
+
+def ops_to_cigar(ops: np.ndarray, n: int) -> list[tuple[int, int]]:
+    """Device op string (reverse order) -> run-length BAM CIGAR."""
+    from focalsv_tpu.io import bam as bamio
+    code_map = {0: bamio.CMATCH, 1: bamio.CDEL, 2: bamio.CINS}
+    out: list[tuple[int, int]] = []
+    for x in ops[:n][::-1]:
+        op = code_map[int(x)]
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + 1)
+        else:
+            out.append((op, 1))
+    return out
+
+
 def banded_align_pair(q, t, band=256, match=2, mismatch=-4, gap_open=-4,
                       gap_extend=-2):
     """Convenience single-pair wrapper: returns (score, cigar).
@@ -315,6 +388,15 @@ def banded_align_pair(q, t, band=256, match=2, mismatch=-4, gap_open=-4,
         tp[None], np.array([len(t)], np.int32),
         np.array([d_lo], np.int32), band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend)
+    if jax.default_backend() not in ("cpu",):
+        # keep the large dirs array on-device; only ~2M bytes of op string
+        # cross the (possibly remote) host link
+        ops_dev, n_dev = traceback_device(
+            dirs, np.array([len(q)], np.int32),
+            np.array([len(t)], np.int32), np.array([d_lo], np.int32),
+            band=band, max_rows=qp.shape[0])
+        return int(scores[0]), ops_to_cigar(np.asarray(ops_dev[0]),
+                                            int(n_dev[0]))
     cig = traceback(np.asarray(dirs[0]), len(q), len(t), d_lo)
     return int(scores[0]), cig
 
