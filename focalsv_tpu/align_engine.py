@@ -187,12 +187,40 @@ class Aligner:
             ops.extend(cig)
         if clip0 > 0:
             ops = [(bamio.CSOFT_CLIP, clip0)] + ops
-        ops.append((bamio.CMATCH, k))
+        # walk anchor gaps with an accumulated M run: the overwhelming
+        # majority are colinear (dq == dt) or pure indels, so the banded DP
+        # only fires for irregular gaps (hot path: no per-anchor call)
+        dts = np.diff(a[:, 0]) - k
+        dqs = np.diff(a[:, 1]) - k
+        cur_m = k
+
+        def flush():
+            nonlocal cur_m
+            if cur_m > 0:
+                if ops and ops[-1][0] == bamio.CMATCH:
+                    ops[-1] = (bamio.CMATCH, ops[-1][1] + cur_m)
+                else:
+                    ops.append((bamio.CMATCH, cur_m))
+            cur_m = 0
+
         for i in range(1, a.shape[0]):
-            tp, qp = int(a[i - 1, 0]) + k, int(a[i - 1, 1]) + k
-            tn, qn = int(a[i, 0]), int(a[i, 1])
-            ops.extend(self._gap_cigar(qs[qp:qn], self.target[tp:tn]))
-            ops.append((bamio.CMATCH, k))
+            dt_, dq_ = int(dts[i - 1]), int(dqs[i - 1])
+            if dq_ == dt_ and dq_ <= 32:
+                cur_m += dq_ + k
+                continue
+            if dq_ == 0:
+                flush()
+                ops.append((bamio.CDEL, dt_))
+            elif dt_ == 0:
+                flush()
+                ops.append((bamio.CINS, dq_))
+            else:
+                flush()
+                tp, qp = int(a[i - 1, 0]) + k, int(a[i - 1, 1]) + k
+                tn, qn = int(a[i, 0]), int(a[i, 1])
+                ops.extend(self._gap_cigar(qs[qp:qn], self.target[tp:tn]))
+            cur_m = k
+        flush()
         # suffix
         q_last = int(a[-1, 1]) + k
         t_last = int(a[-1, 0]) + k
