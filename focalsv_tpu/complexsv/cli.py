@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     p.add_argument("--indel_vcf", default=None,
                    help="FocalSV INDEL VCF for the INS->DUP recovery route")
     p.add_argument("--min_support", type=int, default=2)
+    p.add_argument("--state", choices=["Tumor", "Normal"], default="Normal",
+                   help="sample state for the DUP round-2 feature bands")
     args = p.parse_args(argv)
 
     from focalsv_tpu.complexsv import auto as cauto
@@ -46,15 +48,20 @@ def main(argv=None) -> int:
         for chrom in list(res.invs):
             res.invs[chrom] = cauto.filter_tra_inv(
                 res.invs[chrom], min_sup=args.min_support)
+        import numpy as np
+
+        from focalsv_tpu.utils.coverage import dup_round2_filter
         for chrom in list(res.dups):
-            # estimate mean coverage from primary read spans
-            total = sum(r.reference_end - r.pos
-                        for r in bam.fetch(chrom)
-                        if not r.is_secondary and not r.is_supplementary)
+            # estimate mean coverage + spans from primary records
+            spans = np.array(
+                [[r.pos, r.reference_end] for r in bam.fetch(chrom)
+                 if not r.is_secondary and not r.is_supplementary],
+                np.int64).reshape(-1, 2)
             ref_len = dict(zip(bam.ref_names, bam.ref_lens))[chrom]
-            mean_cov = total / max(ref_len, 1)
-            res.dups[chrom] = cauto.filter_dups(
-                res.dups[chrom], mean_cov, args.data_type)
+            mean_cov = float((spans[:, 1] - spans[:, 0]).sum()) / max(ref_len, 1)
+            kept = cauto.filter_dups(res.dups[chrom], mean_cov, args.data_type)
+            res.dups[chrom] = dup_round2_filter(
+                kept, spans, mean_cov, args.data_type, state=args.state)
         records = cauto.complex_result_to_vcf(res)
     else:
         if not args.bed_file:
