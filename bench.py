@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--ref-len", type=int, default=30_000)
     ap.add_argument("--coverage", type=float, default=20.0)
     ap.add_argument("--dtype", default="HIFI")
-    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=16)
     args = ap.parse_args()
 
     import jax
