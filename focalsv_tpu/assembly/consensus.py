@@ -167,7 +167,12 @@ def assemble_haplotypes(
     hp2: dict[str, np.ndarray] = {}
     for (ps, hp), idxs in sorted(groups.items()):
         tgt = hp1 if hp in (0, 1) else hp2
-        contig = consensus_contig(reads, idxs, region_start, region_len, cfg)
+        if cfg.method == "olc":
+            from focalsv_tpu.assembly.olc import assemble_olc
+            contig = assemble_olc([reads[i].seq for i in idxs], cfg)
+        else:
+            contig = consensus_contig(reads, idxs, region_start, region_len,
+                                      cfg)
         if contig is None:
             continue
         name = f"{name_prefix}_PS{ps}_hp{max(hp,1)}"

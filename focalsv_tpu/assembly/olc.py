@@ -1,0 +1,208 @@
+"""De-novo overlap-layout-consensus assembly for one haplotype read set.
+
+The hifiasm/Flye-class path for region-scale inputs (reference runs one
+assembler process per phase block, `3_assembly/run_assembly.py:15-28`).  The
+reference-guided consensus (assembly/consensus.py) inherits whatever the
+upstream aligner did near breakpoints; this module rebuilds the haplotype
+sequence from the reads alone:
+
+1. overlap: minimizer-sharing candidate pairs -> banded-DP dovetail verify
+   (the hifiasm anchor/Correct stage, here the framework's one DP kernel);
+2. layout: greedy best-overlap chaining from the leftmost-extending read
+   (transitive edges implicitly skipped by best-suffix selection);
+3. consensus: layout positions each read on the draft; column vote +
+   insertion clustering polish the backbone, iterated ``polish_rounds``
+   times for noisy reads (the racon loop).
+
+At region scale (tens of reads, <=100 kb) this is quadratic-candidate but
+minimizer-pruned, and every verify is a batched banded DP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from focalsv_tpu.config import AssemblyConfig
+from focalsv_tpu.io import bam as bamio
+from focalsv_tpu.ops import align as alignops
+from focalsv_tpu.ops import encode as enc
+from focalsv_tpu.ops.minimizer import minimizers
+
+
+@dataclass
+class Overlap:
+    a: int
+    b: int
+    a_start: int        # suffix of a overlaps prefix of b
+    shift: int          # b start position relative to a start
+    score: int
+    identity: float
+
+
+def find_overlaps(
+    seqs: list[np.ndarray], k: int = 15, w: int = 10,
+    min_shared: int = 8, min_olp: int = 500, band: int = 256,
+    max_err: float = 0.2,
+) -> list[Overlap]:
+    """Candidate pairs by shared minimizers; dovetail verify by banded DP."""
+    mins = [minimizers(s, k, w) for s in seqs]
+    # hash -> list of (read, pos)
+    table: dict[int, list[tuple[int, int]]] = {}
+    for ri, (pos, h, _) in enumerate(mins):
+        for p, hh in zip(pos, h):
+            table.setdefault(int(hh), []).append((ri, int(p)))
+    votes: dict[tuple[int, int], list[int]] = {}
+    for entries in table.values():
+        if len(entries) > 32:        # repetitive seed
+            continue
+        for x in range(len(entries)):
+            for y in range(len(entries)):
+                ra, pa = entries[x]
+                rb, pb = entries[y]
+                if ra >= rb:
+                    continue
+                votes.setdefault((ra, rb), []).append(pa - pb)
+    overlaps: list[Overlap] = []
+    for (ra, rb), diffs in votes.items():
+        if len(diffs) < min_shared:
+            continue
+        shift = int(np.median(diffs))   # rb's start in ra coordinates
+        la, lb = len(seqs[ra]), len(seqs[rb])
+        # orient: positive shift -> b hangs off a's right end
+        if shift >= 0:
+            olp = min(la - shift, lb)
+        else:
+            olp = min(lb + shift, la)
+        if olp < min_olp:
+            continue
+        # verify the implied overlap with banded DP
+        if shift >= 0:
+            qa = seqs[ra][shift : shift + olp]
+            qb = seqs[rb][:olp]
+        else:
+            qa = seqs[ra][:olp]
+            qb = seqs[rb][-shift : -shift + olp]
+        bw = max(64, alignops.band_bucket(int(abs(len(qa) - len(qb))) + 64,
+                                          lo=64))
+        sim = alignops.edit_similarity(qa, qb, band=bw)
+        if 1.0 - sim > max_err:
+            continue
+        overlaps.append(Overlap(a=ra, b=rb, a_start=max(shift, 0),
+                                shift=shift, score=olp,
+                                identity=sim))
+    return overlaps
+
+
+def layout_reads(seqs: list[np.ndarray],
+                 overlaps: list[Overlap]) -> list[tuple[int, int]]:
+    """Greedy left-to-right layout: (read index, draft offset) per read.
+
+    Offsets come from single-linkage propagation of pairwise shifts over the
+    best spanning edges (max-identity first), then normalized to start at 0.
+    Reads disconnected from the largest component are dropped.
+    """
+    n = len(seqs)
+    if n == 0:
+        return []
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    offset = {0: 0}
+    # build adjacency, strongest first
+    adj: dict[int, list[tuple[float, int, int]]] = {}
+    for ov in sorted(overlaps, key=lambda o: -o.score * o.identity):
+        adj.setdefault(ov.a, []).append((ov.identity, ov.b, ov.shift))
+        adj.setdefault(ov.b, []).append((ov.identity, ov.a, -ov.shift))
+    # BFS from the read with most overlaps (central backbone seed)
+    if not adj:
+        # no overlaps: keep the longest read alone
+        best = max(range(n), key=lambda i: len(seqs[i]))
+        return [(best, 0)]
+    seed = max(adj, key=lambda r: len(adj[r]))
+    placed = {seed: 0}
+    frontier = [seed]
+    while frontier:
+        nxt = []
+        for r in frontier:
+            for ident, o, shift in adj.get(r, ()):
+                if o not in placed:
+                    placed[o] = placed[r] + shift
+                    nxt.append(o)
+        frontier = nxt
+    base = min(placed.values())
+    return sorted(((r, off - base) for r, off in placed.items()),
+                  key=lambda x: x[1])
+
+
+def consensus_from_layout(
+    seqs: list[np.ndarray], layout: list[tuple[int, int]],
+    band: int = 128,
+) -> np.ndarray | None:
+    """Column-vote consensus over the laid-out reads.
+
+    Draft = concatenation of first-read prefix + extensions; each read is
+    re-aligned to its draft window (banded) and votes per draft column with
+    deletion/insertion awareness (same machinery as the reference-guided
+    consensus, but against the self-draft instead of the reference).
+    """
+    if not layout:
+        return None
+    draft_len = max(off + len(seqs[r]) for r, off in layout)
+    # initial draft: stitch reads by offset (later reads overwrite overlap)
+    draft = np.full(draft_len, 4, np.uint8)
+    for r, off in layout:
+        draft[off : off + len(seqs[r])] = seqs[r]
+    # polish: realign reads to draft, vote
+    from focalsv_tpu.assembly.consensus import consensus_contig
+    recs = []
+    for r, off in layout:
+        s = seqs[r]
+        win_a = max(0, off - 64)
+        win_b = min(draft_len, off + len(s) + 64)
+        tseg = draft[win_a:win_b]
+        bw = max(band, alignops.band_bucket(abs(len(s) - len(tseg)) + 64))
+        _, cig = alignops.banded_align_pair(s, tseg, band=bw)
+        # strip flanking target gaps into the record position
+        pos = win_a
+        if cig and cig[0][0] == bamio.CDEL:
+            pos += cig[0][1]
+            cig = cig[1:]
+        if cig and cig[-1][0] == bamio.CDEL:
+            cig = cig[:-1]
+        recs.append(bamio.BamRecord(
+            name=f"lay{r}", flag=0, ref_id=0, pos=pos, mapq=60,
+            cigar=np.array(cig, np.int32).reshape(-1, 2), seq=s,
+            qual=np.full(len(s), 40, np.uint8)))
+    return consensus_contig(recs, list(range(len(recs))), 0, draft_len)
+
+
+def assemble_olc(
+    seqs: list[np.ndarray], cfg: AssemblyConfig = AssemblyConfig(),
+) -> np.ndarray | None:
+    """Full OLC pass for one haplotype's reads -> consensus contig."""
+    if not seqs:
+        return None
+    if len(seqs) == 1:
+        return seqs[0]
+    overlaps = find_overlaps(seqs)
+    layout = layout_reads(seqs, overlaps)
+    # consensus_from_layout already performs one realign+vote polish pass;
+    # additional rounds re-vote against the refined draft
+    contig = consensus_from_layout(seqs, layout)
+    for _ in range(max(cfg.polish_rounds - 1, 0)):
+        if contig is None or len(contig) < 100:
+            break
+        refined_layout = [(r, min(off, max(len(contig) - 1, 0)))
+                          for r, off in layout]
+        new = consensus_from_layout(seqs, refined_layout)
+        if new is None or np.array_equal(new, contig):
+            break
+        contig = new
+    return contig

@@ -97,6 +97,7 @@ class AssemblyConfig:
     region-scale inputs; reference: focalsv/3_assembly/)."""
 
     polish_rounds: int = 2              # extra rounds for noisy reads (CLR/ONT)
+    method: str = "guided"              # "guided" (reference pileup) | "olc"
     band_width: int = 128               # read<->backbone banded DP width
     min_reads: int = 1
     max_ins_per_column: int = 64        # consensus insertion slot cap
