@@ -253,6 +253,16 @@ def run_auto_mode(
     fasta = FastaFile.load(ref_path)
     if chroms is None:
         chroms = [c for c in bam.ref_names if c in fasta.seqs]
+    if cfg.data_type != DataType.HIFI:
+        # CLR/ONT: min_sig scales with estimated coverage
+        # (0_define_region.py:480-502, min_sig = 0.17 x mean_cov)
+        from focalsv_tpu.utils.coverage import estimate_bam_cov
+        mean_cov = estimate_bam_cov(bam, chroms)
+        min_sig = max(1, int(cfg.detect.min_sig_cov_fraction * mean_cov))
+        import dataclasses as _dc
+        cfg = cfg.replace(detect=_dc.replace(cfg.detect, min_sig=min_sig))
+        logger.info("auto mode: estimated coverage %.1fx -> min_sig %d",
+                    mean_cov, min_sig)
     sig_del: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     sig_ins: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for c in chroms:
