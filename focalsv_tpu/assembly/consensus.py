@@ -80,25 +80,30 @@ def _column_vote(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _cluster_insertions(
     inss: list[tuple[int, int, np.ndarray]], max_dist: int = 20,
 ) -> list[tuple[int, list[np.ndarray]]]:
-    """Group insertion events by nearby positions -> (position, seqs)."""
+    """Group insertion events by nearby positions -> (position, seqs).
+
+    Within one cluster each read contributes ONE candidate sequence: a
+    read's multiple nearby I ops concatenate onto *that read's own* entry
+    (tracked per read, so interleaved reads never produce chimeras)."""
     if not inss:
         return []
     inss = sorted(inss, key=lambda x: x[0])
     out: list[tuple[int, list[np.ndarray]]] = []
-    cur_pos, cur_seqs = inss[0][0], [inss[0][2]]
-    cur_readset = {inss[0][1]}
+    cur_pos = inss[0][0]
+    cur_seqs: list[np.ndarray] = [inss[0][2]]
+    cur_read_idx: dict[int, int] = {inss[0][1]: 0}
     for pos, mi, seq in inss[1:]:
         if pos - cur_pos <= max_dist:
-            if mi in cur_readset:
-                # same read, adjacent I ops: concatenate
-                cur_seqs[-1] = np.concatenate([cur_seqs[-1], seq])
+            if mi in cur_read_idx:
+                k = cur_read_idx[mi]
+                cur_seqs[k] = np.concatenate([cur_seqs[k], seq])
             else:
+                cur_read_idx[mi] = len(cur_seqs)
                 cur_seqs.append(seq)
-                cur_readset.add(mi)
             cur_pos = pos
         else:
             out.append((cur_pos, cur_seqs))
-            cur_pos, cur_seqs, cur_readset = pos, [seq], {mi}
+            cur_pos, cur_seqs, cur_read_idx = pos, [seq], {mi: 0}
     out.append((cur_pos, cur_seqs))
     return out
 

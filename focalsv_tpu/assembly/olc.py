@@ -195,7 +195,7 @@ def assemble_olc(
     layout = layout_reads(seqs, overlaps)
     # consensus_from_layout already performs one realign+vote polish pass;
     # additional rounds re-vote against the refined draft
-    contig = consensus_from_layout(seqs, layout)
+    contig = consensus_from_layout(seqs, layout, band=cfg.band_width)
     for _ in range(max(cfg.polish_rounds - 1, 0)):
         if contig is None or len(contig) < 100:
             break

@@ -47,9 +47,17 @@ def fp_filter_records(
     records: list[VcfRecord], read_sigs: Sigs,
     cfg: FPFilterConfig = FPFilterConfig(),
 ) -> tuple[list[VcfRecord], list[VcfRecord]]:
-    """Returns (kept, dropped) by chromosome-wise support."""
+    """Returns (kept, dropped) by read-signature support.
+
+    ``read_sigs`` carries no chromosome column (Sigs are per-chromosome
+    containers), so records and signatures MUST come from the same
+    chromosome; mixed-chromosome record lists are rejected."""
     if not records:
         return [], []
+    if len({r.chrom for r in records}) > 1:
+        raise ValueError(
+            "fp_filter_records requires single-chromosome records; got "
+            f"{sorted({r.chrom for r in records})}")
     call_pos = np.array([r.pos for r in records], np.int64)
     call_len = np.array([abs(len(r.alt) - len(r.ref)) for r in records], np.int64)
     sup = support_counts(call_pos, call_len, read_sigs.pos,

@@ -55,15 +55,12 @@ class ReadScanConfig:
     """Read-based signature scan & draft calling (reference: Reads_Based_Scan,
     a vendored cuteSV 1.0.11; defaults from Description.parseArgs:53)."""
 
-    batch_size: int = 10_000_000        # genome tile size (-b)
     min_mapq: int = 20                  # (-q)
     min_read_len: int = 500             # (-r)
     min_support: int = 10               # (-s)
     min_sv_size: int = 30               # (-l)
     max_sv_size: int = 100_000          # (-L)
-    min_siglength: int = 10             # (-sl)
     max_split_parts: int = 7            # (-p)
-    gt_round: int = 500
     # genotype likelihood model (genotype.py:6-7)
     gl_error: float = 0.1
     gl_prior: float = 1.0 / 3.0
@@ -79,15 +76,12 @@ class PhasingConfig:
     """Per-region SNV calling + read haplotyping (replaces longshot 0.4.x,
     reference: focalsv/2_phasing/)."""
 
-    min_base_qual: int = 10
     min_mapq: int = 20
     min_allele_frac: float = 0.25       # het site detection band
     max_allele_frac: float = 0.75
     min_site_depth: int = 4
-    min_snv_count: int = 1              # regions w/o hets fall back to unphased
     max_sites: int = 512                # padded SNV axis per region tile
     mec_iters: int = 30                 # iterated-flip MEC refinement rounds
-    err_rate: float = 0.05              # base error for likelihood model
     use_pairhmm: bool = False           # pair-HMM realignment at het sites
 
 
@@ -98,11 +92,8 @@ class AssemblyConfig:
 
     polish_rounds: int = 2              # extra rounds for noisy reads (CLR/ONT)
     method: str = "guided"              # "guided" (reference pileup) | "olc"
-    band_width: int = 128               # read<->backbone banded DP width
+    band_width: int = 128               # read<->draft banded DP width (olc)
     min_reads: int = 1
-    max_ins_per_column: int = 64        # consensus insertion slot cap
-    # backbone choice: longest read whose length is closest to the median span
-    backbone_quantile: float = 0.75
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,15 +108,12 @@ class ContigSigConfig:
     max_shift: int = 100
     min_overlap_frac: float = 0.5
     min_size_sim: float = 0.5
-    # intra-read merge heuristics (CCS :69-122)
-    merge_dist_ins: int = 500
-    merge_dist_del: int = 500
     # CLR noise gates (extract_contig_signature_CLR.py:12-31)
     clr_max_ins_pct: float = 0.13
     clr_min_match_run: int = 200
-    # split-read geometry ratio (CLR r=0.3, ONT r=0.5)
+    # split-read geometry ratio (CLR r=0.3, ONT r=0.5; HIFI uses the
+    # Diffolp-threshold rules instead)
     split_ratio: float = 0.3
-    use_split_ins: bool = True          # ONT drops split-read INS
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,19 +153,11 @@ class CoverageFilterConfig:
 
 @dataclasses.dataclass(frozen=True)
 class GTCorrectConfig:
-    """HiFi genotype re-calling thresholds (reference:
-    para/GT_correction_para_{Hifi,CLR,ONT}_{DEL,INS}.txt via
-    correct_gt_{del,ins}_real_data.py:284-311)."""
+    """HiFi genotype re-calling matching knobs; the per-(dtype, svtype)
+    re-call thresholds live in refine/gt_correct.py::GT_PARAMS (ports of
+    para/GT_correction_para_{Hifi,CLR,ONT}_{DEL,INS}.txt)."""
 
     size_boundary: int = 1000           # large/small SV split
-    del_t_large_11: float = 0.6
-    del_t_small_11: float = 0.69
-    del_t_large_01: float = 0.71
-    del_t_small_01: float = 0.91
-    ins_t_large_11: float = 0.6
-    ins_t_small_11: float = 0.69
-    ins_t_large_01: float = 0.71
-    ins_t_small_01: float = 0.91
     min_size_sim: float = 0.6           # match_varlist_siglist :356-357
     shift_factor: float = 2.3
     min_shift: int = 500
@@ -193,19 +173,6 @@ class GTImputeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class ComplexSVConfig:
-    """TRA/INV/DUP calling (reference: TRA_INV_DUP_call/{Auto,Target})."""
-
-    block_size: int = 1_000_000         # auto-mode genome blocks (:633)
-    max_read_gap: int = 1000            # split-pair read-space gap gate
-    cluster_dist: int = 100             # primary breakpoint clustering
-    cluster_dist_coarse: int = 500      # secondary INV clustering
-    min_sv_size: int = 30
-    min_support: int = 2
-    min_mapq: int = 20
-
-
-@dataclasses.dataclass(frozen=True)
 class AlignConfig:
     """Seed-chain-extend aligner (replaces minimap2 for contig->ref and
     INS-seq remap; also powers overlap detection and dedup similarity)."""
@@ -218,16 +185,11 @@ class AlignConfig:
     chain_min_score: int = 40
     chain_min_anchors: int = 3
     chain_split_gap: int = 400   # split chains when both dq,dt exceed this
-    band_width: int = 256               # inter-anchor banded fill
     flank_extend: int = 800             # max unanchored flank to DP-extend
     match: int = 2
     mismatch: int = -4
     gap_open: int = -4
     gap_extend: int = -2
-    # second affine component for long gaps (minimap2-style dual gap cost)
-    gap_open2: int = -24
-    gap_extend2: int = -1
-    zdrop: int = 400
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,7 +216,6 @@ class PipelineConfig:
     coverage_filter: CoverageFilterConfig = CoverageFilterConfig()
     gt_correct: GTCorrectConfig = GTCorrectConfig()
     gt_impute: GTImputeConfig = GTImputeConfig()
-    complex_sv: ComplexSVConfig = ComplexSVConfig()
     align: AlignConfig = AlignConfig()
     mesh: MeshConfig = MeshConfig()
 
@@ -279,8 +240,10 @@ def preset(data_type: DataType | str) -> PipelineConfig:
                 diff_ratio_merging_del=0.5,
             ),
             assembly=AssemblyConfig(polish_rounds=1),
-            contig_sig=ContigSigConfig(split_ratio=0.3, use_split_ins=True),
-            phasing=PhasingConfig(err_rate=0.01),
+            contig_sig=ContigSigConfig(split_ratio=0.3),
+            coverage_filter=CoverageFilterConfig(
+                ins_lower=0.097, ins_upper=2.754,
+                del_lower=0.2, del_upper=2.605),
         )
     if data_type == DataType.CLR:
         return PipelineConfig(
@@ -293,8 +256,10 @@ def preset(data_type: DataType | str) -> PipelineConfig:
                 diff_ratio_merging_del=0.5,
             ),
             assembly=AssemblyConfig(polish_rounds=3),
-            contig_sig=ContigSigConfig(split_ratio=0.3, use_split_ins=True),
-            phasing=PhasingConfig(err_rate=0.12),
+            contig_sig=ContigSigConfig(split_ratio=0.3),
+            coverage_filter=CoverageFilterConfig(
+                ins_lower=0.075, ins_upper=2.383,
+                del_lower=0.186, del_upper=3.018),
         )
     if data_type == DataType.ONT:
         return PipelineConfig(
@@ -307,7 +272,9 @@ def preset(data_type: DataType | str) -> PipelineConfig:
                 diff_ratio_merging_del=0.3,
             ),
             assembly=AssemblyConfig(polish_rounds=3),
-            contig_sig=ContigSigConfig(split_ratio=0.5, use_split_ins=False),
-            phasing=PhasingConfig(err_rate=0.08),
+            contig_sig=ContigSigConfig(split_ratio=0.5),
+            coverage_filter=CoverageFilterConfig(
+                ins_lower=0.206, ins_upper=2.79,
+                del_lower=0.242, del_upper=2.77),
         )
     raise ValueError(f"unknown data type: {data_type}")

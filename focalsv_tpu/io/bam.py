@@ -80,8 +80,14 @@ class BgzfReader:
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            self.raw = f.read()
+        import mmap
+        self._f = open(path, "rb")
+        try:
+            # mmap keeps resident memory proportional to the touched pages,
+            # not the whole compressed BAM (WGS BAMs are tens of GB)
+            self.raw = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):   # empty file or mmap-less FS
+            self.raw = self._f.read()
         self._block_cache: dict[int, bytes] = {}
 
     def block_at(self, coffset: int) -> tuple[bytes, int]:
@@ -249,8 +255,9 @@ def _parse_tags(buf: bytes) -> dict:
             sub = chr(buf[p]); cnt = struct.unpack_from("<I", buf, p + 1)[0]
             p += 5
             size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
-            fmt = "<" + str(cnt) + sub.replace("C", "B").replace("S", "H").replace("I", "I")
-            tags[tag] = list(struct.unpack_from(fmt, buf, p))
+            fmt_char = {"c": "b", "C": "B", "s": "h", "S": "H",
+                        "i": "i", "I": "I", "f": "f"}[sub]
+            tags[tag] = list(struct.unpack_from("<" + fmt_char * cnt, buf, p))
             p += cnt * size
         else:
             break

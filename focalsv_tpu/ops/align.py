@@ -406,22 +406,6 @@ def banded_align_pair(q, t, band=256, match=2, mismatch=-4, gap_open=-4,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
-def banded_edit_distance_batch(a, a_len, b, b_len, band: int = 128):
-    """Batched banded Levenshtein distance (unit costs).
-
-    dist = (Lq + Lt - 2*match + mismatches... ) computed directly with DP over
-    the same band structure using scores: match=0, mismatch=-1, gaps=-1; the
-    negated global score is the edit distance (unit-cost alignment).
-    """
-    scores, _ = banded_align_batch(
-        a, a_len, b, b_len,
-        d_lo=((b_len - a_len) // 2 - band // 2).astype(jnp.int32),
-        band=band, match=0, mismatch=-1, gap_open=-1, gap_extend=-1,
-        store_dirs=False)
-    return -scores
-
-
 def edit_similarity(a: np.ndarray, b: np.ndarray, band: int = 128) -> float:
     """1 - dist/max(len) as used by remove_redundancy.edit_sim (:57-63)."""
     la, lb = len(a), len(b)

@@ -64,6 +64,11 @@ def phase_consensus_batch(
         A = jnp.where(sub == sa0[None, :], 0,
                       jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)
         A = jnp.where(rv[:, None], A, -1)
+        # padded (invalid) site slots land at the array tail after the sort
+        # (they were pinned to column L-1); they must not vote in MEC
+        n_valid = site_valid.sum()
+        pad_sites = jnp.arange(A.shape[1]) >= n_valid
+        A = jnp.where(pad_sites[None, :], jnp.int8(-1), A)
         covA = A >= 0
         # chained adjacent-site phase init
         def chain(carry, s):
@@ -106,7 +111,7 @@ def phase_consensus_batch(
 
         s1, cov1 = vote(hp == 1)
         s2, cov2 = vote(hp == 2)
-        return (site_pos.astype(jnp.int32), site_valid, hp.astype(jnp.int8),
+        return (site_pos.astype(jnp.int32), ~pad_sites, hp.astype(jnp.int8),
                 s1, cov1.astype(jnp.int32), s2, cov2.astype(jnp.int32))
 
     return jax.vmap(one)(mat, read_valid)

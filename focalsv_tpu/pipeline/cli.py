@@ -56,11 +56,14 @@ def main(argv=None) -> int:
             chroms = [f"chr{args.chr_num}"]
         final = pipeline_main.run_auto_mode(
             args.bam_file, args.ref_file, args.out_dir, cfg,
-            prior_vcf=args.prior_file, chroms=chroms, refine=refine)
+            prior_vcf=args.prior_file, chroms=chroms, refine=refine,
+            num_workers=args.num_threads)
     elif args.target_bed:
         final = pipeline_main.run_target_mode(
             args.bam_file, args.ref_file, args.out_dir, cfg,
-            target_bed=args.target_bed, refine=refine, resume=args.resume)
+            target_bed=args.target_bed, refine=refine, resume=args.resume,
+            chrom_filter=(f"chr{args.chr_num}" if args.chr_num else None),
+            num_workers=args.num_threads)
     else:
         if args.region_start is None or args.region_end is None or not args.chr_num:
             print("need --target_bed or (-S, -E, --chr_num)", file=sys.stderr)
@@ -68,7 +71,8 @@ def main(argv=None) -> int:
         final = pipeline_main.run_target_mode(
             args.bam_file, args.ref_file, args.out_dir, cfg,
             chrom=f"chr{args.chr_num}", start=args.region_start,
-            end=args.region_end, refine=refine)
+            end=args.region_end, refine=refine,
+            num_workers=args.num_threads)
     print(final)
     return 0
 

@@ -201,6 +201,8 @@ def run_target_mode(
     end: int | None = None,
     refine: bool = True,
     resume: bool = False,
+    chrom_filter: str | None = None,
+    num_workers: int = 4,
 ) -> str:
     """Target-mode entry (reference focalsv.py --target_bed | -S/-E).
 
@@ -210,6 +212,10 @@ def run_target_mode(
     fasta = FastaFile.load(ref_path)
     if target_bed:
         regions = read_bed(target_bed)
+        if chrom_filter:
+            # --chr_num N restricts the BED to one chromosome
+            # (reference focalsv.py extract_bed :59)
+            regions = [r for r in regions if r.chrom == chrom_filter]
     else:
         assert chrom is not None and start is not None and end is not None
         regions = [Region(chrom, int(start), int(end))]
@@ -227,7 +233,7 @@ def run_target_mode(
             chrom_vcfs.append(vcf_path)
             continue
         cres = process_chromosome(bam, fasta, c, regs, cfg, out_dir=cdir,
-                                  refine=refine)
+                                  refine=refine, num_workers=num_workers)
         write_vcf(vcf_path, cres.records,
                   contigs={c: fasta.lengths()[c]} if c in fasta.seqs else None)
         chrom_vcfs.append(vcf_path)
@@ -245,6 +251,7 @@ def run_auto_mode(
     prior_vcf: str | None = None,
     chroms: list[str] | None = None,
     refine: bool = True,
+    num_workers: int = 4,
 ) -> str:
     """Auto-mode entry: step-0 region detection, then target mode
     (reference 0_define_region.py :520-543 + focalsv.py chr loop)."""
@@ -296,4 +303,5 @@ def run_auto_mode(
     write_bed(bed_path, regions)
     logger.info("auto mode: %d SV-rich regions -> %s", len(regions), bed_path)
     return run_target_mode(bam_path, ref_path, out_dir, cfg,
-                           target_bed=bed_path, refine=refine)
+                           target_bed=bed_path, refine=refine,
+                           num_workers=num_workers)

@@ -12,25 +12,19 @@ import numpy as np
 from focalsv_tpu.config import CoverageFilterConfig
 from focalsv_tpu.io.vcf import VcfRecord
 
-# filter_para.csv, asm='volcano'
-COVERAGE_BANDS = {
-    "hifi": dict(ins=(0.097, 2.754), dele=(0.2, 2.605)),
-    "clr": dict(ins=(0.075, 2.383), dele=(0.186, 3.018)),
-    "ont": dict(ins=(0.206, 2.79), dele=(0.242, 2.77)),
-}
-
-
 def coverage_filter(
     records: list[VcfRecord], support_rows: list[dict],
-    dtype_name: str = "hifi",
+    cfg: CoverageFilterConfig = CoverageFilterConfig(),
 ) -> tuple[list[VcfRecord], list[VcfRecord]]:
     """Returns (kept, dropped).  support_rows from
-    refine.support.signature_support_table (matched by 'idx')."""
-    bands = COVERAGE_BANDS[dtype_name.lower()]
+    refine.support.signature_support_table (matched by 'idx');
+    the per-dtype band bounds come from the preset's CoverageFilterConfig
+    (filter_para.csv volcano rows)."""
     rel = {row["idx"]: row["rel_cov"] for row in support_rows}
     keep_idx = set()
-    for svtype, band_key in (("INS", "ins"), ("DEL", "dele")):
-        lb_r, rb_r = bands[band_key]
+    for svtype, bounds in (("INS", (cfg.ins_lower, cfg.ins_upper)),
+                           ("DEL", (cfg.del_lower, cfg.del_upper))):
+        lb_r, rb_r = bounds
         idxs = [i for i, r in enumerate(records)
                 if r.svtype == svtype and i in rel]
         if not idxs:

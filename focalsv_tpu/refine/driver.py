@@ -13,7 +13,6 @@ from focalsv_tpu.refine.support import signature_support_table
 from focalsv_tpu.scan.read_scan import RawSig, ScanResult
 
 _DTYPE_NAME = {DataType.HIFI: "Hifi", DataType.CLR: "CLR", DataType.ONT: "ONT"}
-_DTYPE_LC = {DataType.HIFI: "hifi", DataType.CLR: "clr", DataType.ONT: "ont"}
 
 
 def _sig_arrays(sigs: list[RawSig]):
@@ -49,7 +48,7 @@ def refine_records(
     ins_pos, ins_len = _sig_arrays(scan.ins_sigs)
     rows = signature_support_table(records, del_pos, del_len, ins_pos, ins_len,
                                    flank=1000, min_size=cfg.read_scan.min_sv_size)
-    kept, dropped = coverage_filter(records, rows, _DTYPE_LC[cfg.data_type])
+    kept, dropped = coverage_filter(records, rows, cfg.coverage_filter)
     spans = np.array([[s, e] for _, s, e in scan.read_spans], np.int64) \
         if scan.read_spans else np.zeros((0, 2), np.int64)
     if cfg.data_type == DataType.HIFI:

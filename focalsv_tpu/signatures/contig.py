@@ -125,6 +125,7 @@ def merge_intra_read(rows: list[dict]) -> list[dict]:
 
 def sigs_from_split_pair(
     a1: dict, a2: dict, data_type: DataType, max_svlen: int = 50_000,
+    split_ratio: float | None = None,
 ) -> list[dict]:
     """Diffdis/Diffolp geometry on an adjacent same-strand clipped pair.
 
@@ -160,7 +161,8 @@ def sigs_from_split_pair(
             rows.append(dict(base, svtype=INS, pos=pos, svlen=svlen,
                              rstart=read1e - diffolp, rend=read2s))
     else:
-        r = 0.3 if data_type == DataType.CLR else 0.5
+        r = split_ratio if split_ratio is not None else (
+            0.3 if data_type == DataType.CLR else 0.5)
         if diffdis >= 30:
             diffolp = read1e - read2s
             if -(diffdis * r) <= diffolp <= diffdis * r:
@@ -233,7 +235,8 @@ def extract_hap_sigs(
         gs.sort(key=lambda g: g["ref_start"])
         for i in range(len(gs) - 1):
             split_rows.extend(
-                sigs_from_split_pair(gs[i], gs[i + 1], data_type))
+                sigs_from_split_pair(gs[i], gs[i + 1], data_type,
+                                     split_ratio=cfg.split_ratio))
     cig_sigs = Sigs.from_rows(cigar_rows, contig_names).sort_by_pos()
     spl_sigs = Sigs.from_rows(split_rows, contig_names).sort_by_pos()
     # cluster each source, then merged (reference extract_signature_one_hap)

@@ -103,7 +103,8 @@ def test_coverage_filter_bands():
         rel = 2.0 if i < 9 else 100.0   # one extreme outlier
         rows.append(dict(idx=i, svid=f"d{i}", svtype="DEL", svlen=100,
                          cov=int(rel * 100), rel_cov=rel))
-    kept, dropped = coverage_filter(recs, rows, "hifi")
+    from focalsv_tpu.config import CoverageFilterConfig
+    kept, dropped = coverage_filter(recs, rows, CoverageFilterConfig())
     assert len(dropped) == 1 and dropped[0].id == "d9"
 
 
