@@ -28,56 +28,82 @@ struct Buf {
     std::vector<uint8_t> data;
 };
 
-bool bgzf_decompress_file(const char* path, std::vector<uint8_t>& out) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
-    std::fseek(f, 0, SEEK_END);
-    const long fsize = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    std::vector<uint8_t> raw(static_cast<size_t>(fsize));
-    if (std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
-        std::fclose(f);
-        return false;
+// Streaming BGZF reader: decompresses block-by-block into a rolling
+// buffer so resident memory stays O(window), not O(genome) -- required for
+// WGS-scale BAMs (tens of GB compressed).
+struct BgzfStream {
+    FILE* f = nullptr;
+    std::vector<uint8_t> comp;       // current compressed block
+    std::vector<uint8_t> window;     // rolling decompressed window
+    size_t consumed = 0;             // bytes of `window` already consumed
+
+    bool open(const char* path) {
+        f = std::fopen(path, "rb");
+        return f != nullptr;
     }
-    std::fclose(f);
-    size_t off = 0;
-    std::vector<uint8_t> block(1 << 17);
-    while (off + 18 <= raw.size()) {
-        const uint16_t xlen = raw[off + 10] | (raw[off + 11] << 8);
-        size_t p = off + 12;
-        size_t bsize = 0;
-        const size_t end_extra = p + xlen;
-        while (p + 4 <= end_extra) {
-            const uint8_t si1 = raw[p], si2 = raw[p + 1];
-            const uint16_t slen = raw[p + 2] | (raw[p + 3] << 8);
+    ~BgzfStream() { if (f) std::fclose(f); }
+
+    // append one decompressed block to `window`; false at EOF/corruption
+    bool pump() {
+        uint8_t head[18];
+        if (std::fread(head, 1, 18, f) != 18) return false;
+        const uint16_t xlen = head[10] | (head[11] << 8);
+        std::vector<uint8_t> extra(xlen);
+        if (xlen > 6) {
+            std::memcpy(extra.data(), head + 12, 6);
+            if (std::fread(extra.data() + 6, 1, xlen - 6, f) != (size_t)(xlen - 6))
+                return false;
+        } else {
+            std::memcpy(extra.data(), head + 12, xlen);
+        }
+        size_t bsize = 0, p = 0;
+        while (p + 4 <= xlen) {
+            const uint8_t si1 = extra[p], si2 = extra[p + 1];
+            const uint16_t slen = extra[p + 2] | (extra[p + 3] << 8);
             if (si1 == 0x42 && si2 == 0x43)
-                bsize = (raw[p + 4] | (raw[p + 5] << 8)) + 1;
+                bsize = (extra[p + 4] | (extra[p + 5] << 8)) + 1;
             p += 4 + slen;
         }
         if (!bsize) return false;
-        const size_t cstart = off + 12 + xlen;
-        const size_t cend = off + bsize - 8;
-        // ISIZE at block end
-        const size_t isize = raw[off + bsize - 4] | (raw[off + bsize - 3] << 8)
-            | (raw[off + bsize - 2] << 16)
-            | (static_cast<size_t>(raw[off + bsize - 1]) << 24);
-        if (isize > 0) {
-            z_stream zs{};
-            inflateInit2(&zs, -15);
-            zs.next_in = const_cast<uint8_t*>(raw.data() + cstart);
-            zs.avail_in = static_cast<uInt>(cend - cstart);
-            const size_t base = out.size();
-            out.resize(base + isize);
-            zs.next_out = out.data() + base;
-            zs.avail_out = static_cast<uInt>(isize);
-            const int rc = inflate(&zs, Z_FINISH);
-            inflateEnd(&zs);
-            if (rc != Z_STREAM_END) return false;
-        }
-        off += bsize;
+        const size_t cdata = bsize - 12 - xlen - 8;
+        comp.resize(cdata);
+        if (std::fread(comp.data(), 1, cdata, f) != cdata) return false;
+        uint8_t tail[8];
+        if (std::fread(tail, 1, 8, f) != 8) return false;
+        const size_t isize = tail[4] | (tail[5] << 8) | (tail[6] << 16)
+            | (static_cast<size_t>(tail[7]) << 24);
+        if (isize == 0) return true;   // EOF marker block; keep pumping
+        z_stream zs{};
+        inflateInit2(&zs, -15);
+        zs.next_in = comp.data();
+        zs.avail_in = static_cast<uInt>(cdata);
+        const size_t base = window.size();
+        window.resize(base + isize);
+        zs.next_out = window.data() + base;
+        zs.avail_out = static_cast<uInt>(isize);
+        const int rc = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        return rc == Z_STREAM_END;
     }
-    return true;
-}
+
+    // ensure >= n unconsumed bytes available; false when the file ends first
+    bool need(size_t n) {
+        while (window.size() - consumed < n) {
+            compact();
+            if (!pump()) return false;
+        }
+        return true;
+    }
+
+    const uint8_t* head() const { return window.data() + consumed; }
+    void advance(size_t n) { consumed += n; }
+    void compact() {
+        if (consumed > (1u << 20)) {
+            window.erase(window.begin(), window.begin() + consumed);
+            consumed = 0;
+        }
+    }
+};
 
 uint64_t fnv1a(const char* s, size_t n) {
     uint64_t h = 1469598103934665603ULL;
@@ -121,22 +147,37 @@ int bamscan_run(const char* path, int min_mapq, int min_svlen,
     delete g_out;
     g_out = new ScanOut();
     ScanOut& o = *g_out;
-    std::vector<uint8_t> buf;
-    if (!bgzf_decompress_file(path, buf)) return 1;
-    if (buf.size() < 12 || std::memcmp(buf.data(), "BAM\x01", 4) != 0) return 2;
-    size_t p = 4;
-    const int32_t l_text = *reinterpret_cast<int32_t*>(&buf[p]); p += 4;
-    p += l_text;
-    const int32_t n_ref = *reinterpret_cast<int32_t*>(&buf[p]); p += 4;
+    BgzfStream bs;
+    if (!bs.open(path)) return 1;
+    if (!bs.need(12)) return 2;
+    if (std::memcmp(bs.head(), "BAM\x01", 4) != 0) return 2;
+    int32_t l_text;
+    std::memcpy(&l_text, bs.head() + 4, 4);
+    bs.advance(8);
+    if (!bs.need(l_text + 4)) return 2;
+    bs.advance(l_text);
+    int32_t n_ref;
+    std::memcpy(&n_ref, bs.head(), 4);
+    bs.advance(4);
     for (int i = 0; i < n_ref; ++i) {
-        const int32_t l_name = *reinterpret_cast<int32_t*>(&buf[p]); p += 4;
-        p += l_name + 4;
+        if (!bs.need(4)) return 2;
+        int32_t l_name;
+        std::memcpy(&l_name, bs.head(), 4);
+        bs.advance(4);
+        if (!bs.need(l_name + 4)) return 2;
+        bs.advance(l_name + 4);
     }
     struct PendSig { int64_t pos, len, seq_off, seq_len, tail; };
-    while (p + 4 <= buf.size()) {
-        const int32_t block = *reinterpret_cast<int32_t*>(&buf[p]); p += 4;
-        if (p + block > buf.size()) break;
-        const uint8_t* r = &buf[p];
+    std::vector<uint8_t> recbuf;
+    for (;;) {
+        if (!bs.need(4)) break;
+        int32_t block;
+        std::memcpy(&block, bs.head(), 4);
+        bs.advance(4);
+        if (block <= 0 || !bs.need(static_cast<size_t>(block))) break;
+        recbuf.assign(bs.head(), bs.head() + block);
+        bs.advance(block);
+        const uint8_t* r = recbuf.data();
         const int32_t ref_id = *reinterpret_cast<const int32_t*>(r + 0);
         const int32_t pos = *reinterpret_cast<const int32_t*>(r + 4);
         const uint8_t l_read_name = r[8];
@@ -149,7 +190,6 @@ int bamscan_run(const char* path, int min_mapq, int min_svlen,
             reinterpret_cast<const uint32_t*>(r + 32 + l_read_name);
         const uint8_t* packed =
             reinterpret_cast<const uint8_t*>(cig) + 4 * n_cigar;
-        p += block;
         if (ref_id < 0 || (flag & 0x4) || (flag & 0x100)) continue;
         // geometry
         int64_t ref_len = 0, read_len = 0, clip_head = 0, clip_tail = 0;
@@ -245,8 +285,6 @@ int bamscan_run(const char* path, int min_mapq, int min_svlen,
             PendSig cur = inss[0];
             for (size_t k = 1; k < inss.size(); ++k) {
                 if (inss[k].pos - cur.tail <= merge_ins) {
-                    // concatenated seq: append the next seq right after if
-                    // contiguous in blob (it is: sequential emission)
                     cur.len += inss[k].len;
                     cur.seq_len += inss[k].seq_len;
                     cur.tail = inss[k].pos;
