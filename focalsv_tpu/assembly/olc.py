@@ -97,35 +97,44 @@ def find_overlaps(
 
 def layout_reads(seqs: list[np.ndarray],
                  overlaps: list[Overlap]) -> list[tuple[int, int]]:
-    """Greedy left-to-right layout: (read index, draft offset) per read.
+    """BFS layout: (read index, draft offset) per read.
 
-    Offsets come from single-linkage propagation of pairwise shifts over the
-    best spanning edges (max-identity first), then normalized to start at 0.
-    Reads disconnected from the largest component are dropped.
+    Offsets propagate pairwise shifts outward from the highest-degree read
+    (strongest-overlap edges first), then normalize to start at 0.  Reads
+    outside the seed's connected component are left out of the layout; with
+    no overlaps at all, the longest read stands alone.
     """
     n = len(seqs)
     if n == 0:
         return []
-    parent = list(range(n))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    offset = {0: 0}
-    # build adjacency, strongest first
     adj: dict[int, list[tuple[float, int, int]]] = {}
     for ov in sorted(overlaps, key=lambda o: -o.score * o.identity):
         adj.setdefault(ov.a, []).append((ov.identity, ov.b, ov.shift))
         adj.setdefault(ov.b, []).append((ov.identity, ov.a, -ov.shift))
-    # BFS from the read with most overlaps (central backbone seed)
     if not adj:
-        # no overlaps: keep the longest read alone
         best = max(range(n), key=lambda i: len(seqs[i]))
         return [(best, 0)]
-    seed = max(adj, key=lambda r: len(adj[r]))
+    # seed from the read with the most overlap edges inside the LARGEST
+    # connected component (a high-degree repeat read can sit in a side
+    # component; components found by throwaway BFS sweeps)
+    seen: set[int] = set()
+    components: list[list[int]] = []
+    for r0 in adj:
+        if r0 in seen:
+            continue
+        comp = [r0]
+        seen.add(r0)
+        q = [r0]
+        while q:
+            r = q.pop()
+            for _, o, _ in adj.get(r, ()):
+                if o not in seen:
+                    seen.add(o)
+                    comp.append(o)
+                    q.append(o)
+        components.append(comp)
+    main = max(components, key=len)
+    seed = max(main, key=lambda r: len(adj[r]))
     placed = {seed: 0}
     frontier = [seed]
     while frontier:
@@ -143,30 +152,34 @@ def layout_reads(seqs: list[np.ndarray],
 
 def consensus_from_layout(
     seqs: list[np.ndarray], layout: list[tuple[int, int]],
-    band: int = 128,
+    band: int = 128, draft: np.ndarray | None = None,
 ) -> np.ndarray | None:
     """Column-vote consensus over the laid-out reads.
 
-    Draft = concatenation of first-read prefix + extensions; each read is
-    re-aligned to its draft window (banded) and votes per draft column with
-    deletion/insertion awareness (same machinery as the reference-guided
-    consensus, but against the self-draft instead of the reference).
+    Each read is re-aligned (banded) to its window of the draft -- the
+    offset-stitched read mosaic on the first pass, or the previous round's
+    contig when ``draft`` is given (the racon polish loop) -- and votes per
+    draft column with deletion/insertion awareness.
     """
     if not layout:
         return None
-    draft_len = max(off + len(seqs[r]) for r, off in layout)
-    # initial draft: stitch reads by offset (later reads overwrite overlap)
-    draft = np.full(draft_len, 4, np.uint8)
-    for r, off in layout:
-        draft[off : off + len(seqs[r])] = seqs[r]
-    # polish: realign reads to draft, vote
+    stitched_len = max(off + len(seqs[r]) for r, off in layout)
+    if draft is None:
+        draft = np.full(stitched_len, 4, np.uint8)
+        for r, off in layout:
+            draft[off : off + len(seqs[r])] = seqs[r]
+    draft_len = len(draft)
+    scale = draft_len / max(stitched_len, 1)
     from focalsv_tpu.assembly.consensus import consensus_contig
     recs = []
     for r, off in layout:
         s = seqs[r]
+        off = int(off * scale)
         win_a = max(0, off - 64)
         win_b = min(draft_len, off + len(s) + 64)
         tseg = draft[win_a:win_b]
+        if len(tseg) < 50:
+            continue
         bw = max(band, alignops.band_bucket(abs(len(s) - len(tseg)) + 64))
         _, cig = alignops.banded_align_pair(s, tseg, band=bw)
         # strip flanking target gaps into the record position
@@ -180,6 +193,8 @@ def consensus_from_layout(
             name=f"lay{r}", flag=0, ref_id=0, pos=pos, mapq=60,
             cigar=np.array(cig, np.int32).reshape(-1, 2), seq=s,
             qual=np.full(len(s), 40, np.uint8)))
+    if not recs:
+        return None
     return consensus_contig(recs, list(range(len(recs))), 0, draft_len)
 
 
@@ -193,15 +208,13 @@ def assemble_olc(
         return seqs[0]
     overlaps = find_overlaps(seqs)
     layout = layout_reads(seqs, overlaps)
-    # consensus_from_layout already performs one realign+vote polish pass;
-    # additional rounds re-vote against the refined draft
     contig = consensus_from_layout(seqs, layout, band=cfg.band_width)
+    # racon loop: re-vote the reads against each refined draft
     for _ in range(max(cfg.polish_rounds - 1, 0)):
         if contig is None or len(contig) < 100:
             break
-        refined_layout = [(r, min(off, max(len(contig) - 1, 0)))
-                          for r, off in layout]
-        new = consensus_from_layout(seqs, refined_layout)
+        new = consensus_from_layout(seqs, layout, band=cfg.band_width,
+                                    draft=np.asarray(contig, np.uint8))
         if new is None or np.array_equal(new, contig):
             break
         contig = new

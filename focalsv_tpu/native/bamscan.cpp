@@ -222,8 +222,9 @@ int bamscan_run(const char* path, int min_mapq, int min_svlen,
         o.rec_rend.push_back(rend);
         o.rec_rlen.push_back(read_len);
         o.rec_name.push_back(fnv1a(name, l_read_name - 1));
-        // signatures (primary records only, cuteSV conventions)
-        if ((flag & 0x800) || mapq < min_mapq) continue;
+        // signatures (cuteSV conventions: every record with sufficient
+        // mapq and seq length contributes, including supplementaries)
+        if (mapq < min_mapq) continue;
         int64_t qlen_stored = l_seq;
         if (qlen_stored < min_read_len && read_len < min_read_len) continue;
         std::vector<PendSig> dels, inss;

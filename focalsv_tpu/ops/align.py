@@ -177,6 +177,8 @@ def banded_align_batch(
             qc = qi[jnp.clip(i - 1, 0, qi.shape[0] - 1)]
             j = i + dlo + ks
             jv = (j >= 1) & (j <= tn) & (i <= qn)
+            # the j==0 column (pure leading query insertions) is F-only
+            jz = (j == 0) & (i <= qn)
             tc = t_pad[jnp.clip(j - 1, 0, t_pad.shape[0] - 1)]
             sub = jnp.where((qc == tc) & (qc < 4), match, mismatch)
             diag = h_prev + sub
@@ -191,15 +193,17 @@ def banded_align_batch(
             # gap of length g costs open + ext*(g-1): the -ext corrects the scan
             e = a_shift + (gap_open - gap_extend) + gap_extend * ks
             h = jnp.maximum(g, e)
-            h = jnp.where(jv, h, NEG)
+            h = jnp.where(jv, h, jnp.where(jz, f, NEG))
             e2 = jnp.where(jv, e, NEG)
-            f2 = jnp.where(jv, f, NEG)
+            f2 = jnp.where(jv | jz, f, NEG)
             d = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2)).astype(jnp.uint8)
             d = d | jnp.where(f_ext >= f_open, DIR_F_EXT, 0).astype(jnp.uint8)
             g_left = jnp.concatenate([jnp.array([NEG], jnp.int32), g[:-1]])
             e_ext_bit = (a_shift > g_left - gap_extend * (ks - 1)).astype(jnp.uint8)
             d = d | (e_ext_bit * DIR_E_EXT)
-            d = jnp.where(jv, d, 0)
+            dz = (jnp.uint8(2) |
+                  jnp.where(f_ext >= f_open, DIR_F_EXT, 0).astype(jnp.uint8))
+            d = jnp.where(jv, d, jnp.where(jz, dz, 0))
             h_at_end = jnp.where(i == qn, h, h_at_end)
             return (h, e2, f2, h_at_end), (d if store_dirs else 0)
 
@@ -372,6 +376,10 @@ def banded_align_pair(q, t, band=256, match=2, mismatch=-4, gap_open=-4,
     as one device batch."""
     q = np.asarray(q, np.uint8)
     t = np.asarray(t, np.uint8)
+    # a band narrower than the length difference cannot contain the global
+    # endpoint -- widen it instead of silently returning garbage
+    if abs(len(t) - len(q)) + 8 > band:
+        band = band_bucket(abs(len(t) - len(q)) + 32, lo=band)
     d_lo = (len(t) - len(q)) // 2 - band // 2
     # ensure k_end in range and diagonal start reachable
     d_lo = int(np.clip(d_lo, len(t) - len(q) - band + 1, 0))

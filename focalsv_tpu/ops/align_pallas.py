@@ -85,6 +85,8 @@ def _kernel(qT_ref, tshiftT_ref, qlen_ref, tlen_ref, dlo_ref,
         qcb = qchunk[r : r + 1, :].astype(jnp.int32) + zero  # (W, LANES)
         j = i + dlo + ks
         jv = (j >= 1) & (j <= tn_b) & (i <= qn_b)
+        # the j==0 column (pure leading query insertions) is F-only
+        jz = (j == 0) & (i <= qn_b)
         tc = T[r + 8 : r + 8 + W, :].astype(jnp.int32)     # t[j-1] rows
         sub = jnp.where((qcb == tc) & (qcb < 4), match, mismatch)
         diag = h_prev + sub
@@ -98,16 +100,17 @@ def _kernel(qT_ref, tshiftT_ref, qlen_ref, tlen_ref, dlo_ref,
         a_shift = jnp.concatenate([neg_row, a[:-1, :]], axis=0)
         e = a_shift + (gap_open - gap_extend) + gap_extend * ks
         h = jnp.maximum(g, e)
-        h = jnp.where(jv, h, NEG)
+        h = jnp.where(jv, h, jnp.where(jz, f, NEG))
         d = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
         d = d | jnp.where(f_ext >= f_open, DIR_F_EXT, 0)
         g_left = jnp.concatenate([neg_row, g[:-1, :]], axis=0)
         e_ext_bit = (a_shift > g_left - gap_extend * (ks - 1)).astype(jnp.int32)
         d = d | (e_ext_bit * DIR_E_EXT)
-        d = jnp.where(jv, d, 0).astype(jnp.uint8)
+        dz = 2 | jnp.where(f_ext >= f_open, DIR_F_EXT, 0)
+        d = jnp.where(jv, d, jnp.where(jz, dz, 0)).astype(jnp.uint8)
         h_ref[:] = h
         e_ref[:] = jnp.where(jv, e, NEG)
-        f_ref[:] = jnp.where(jv, f, NEG)
+        f_ref[:] = jnp.where(jv | jz, f, NEG)
         dirs_ref[r, :, :] = d
         hend_ref[:] = jnp.where(i == qn_b, h, hend_ref[:])
 

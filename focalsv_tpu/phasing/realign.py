@@ -17,22 +17,37 @@ from focalsv_tpu.phasing.phase import HetSites
 
 
 def read_offset_at(rec: bamio.BamRecord, ref_pos: int) -> int | None:
-    """Query offset aligned at (or just after) a reference position."""
+    """Query offset aligned at a single reference position."""
+    out = read_offsets_at(rec, np.array([ref_pos], np.int64))
+    return int(out[0]) if out[0] >= 0 else None
+
+
+def read_offsets_at(rec: bamio.BamRecord,
+                    ref_positions: np.ndarray) -> np.ndarray:
+    """Query offsets aligned at each (sorted ascending) reference position,
+    computed in ONE CIGAR walk per read (-1 = not aligned there)."""
+    out = np.full(len(ref_positions), -1, np.int64)
     rpos = rec.pos
     qpos = 0
+    si = int(np.searchsorted(ref_positions, rpos))
+    n = len(ref_positions)
     for op, ln in rec.cigar:
+        if si >= n:
+            break
         if op in (bamio.CMATCH, bamio.CEQUAL, bamio.CDIFF):
-            if rpos <= ref_pos < rpos + ln:
-                return qpos + (ref_pos - rpos)
+            while si < n and ref_positions[si] < rpos + ln:
+                if ref_positions[si] >= rpos:
+                    out[si] = qpos + (ref_positions[si] - rpos)
+                si += 1
             rpos += ln
             qpos += ln
         elif op in (bamio.CINS, bamio.CSOFT_CLIP):
             qpos += ln
         elif op in (bamio.CDEL, bamio.CREF_SKIP):
-            if rpos <= ref_pos < rpos + ln:
-                return None   # site deleted in this read
+            while si < n and ref_positions[si] < rpos + ln:
+                si += 1          # site deleted in this read
             rpos += ln
-    return None
+    return out
 
 
 def realign_allele_matrix(
@@ -49,17 +64,16 @@ def realign_allele_matrix(
     if R == 0 or S == 0:
         return out
     seg_w = 2 * flank + 1
+    gpos_sorted = np.asarray(sites.positions, np.int64) + region_start
     jobs = []          # (read_idx, site_idx, seg, qual)
     for ri, rec in enumerate(reads):
-        for si, p in enumerate(sites.positions):
-            gpos = int(p) + region_start
-            q = read_offset_at(rec, gpos)
-            if q is None:
-                continue
+        offs = read_offsets_at(rec, gpos_sorted)
+        for si in np.nonzero(offs >= 0)[0]:
+            q = int(offs[si])
             a, b = q - flank, q + flank + 1
             if a < 0 or b > rec.query_length:
                 continue
-            jobs.append((ri, si, rec.seq[a:b],
+            jobs.append((ri, int(si), rec.seq[a:b],
                          rec.qual[a:b] if rec.qual.shape[0] else None))
     if not jobs:
         return out

@@ -6,6 +6,12 @@ this wrapper reconstructs per-chromosome ScanResults (CIGAR signatures with
 INS sequences, split-pair signatures from the per-record geometry, spanning
 intervals for genotyping).  Falls back to the pure-Python scan when the
 native library is unavailable.
+
+Known divergence from the Python path: split-pair INS signatures carry no
+sequence here (the native pass does not retain whole read sequences), so
+clusters supported ONLY by split evidence yield no representative sequence
+and are skipped by the draft caller -- same treatment the reference gives a
+cluster whose members are all shorter than the mean length.
 """
 
 from __future__ import annotations
@@ -81,8 +87,11 @@ def scan_bam_native(
                 sig = RawSig(int(s_pos[k]), int(s_len[k]),
                              str(name_str[ri]), seq)
                 (res.ins_sigs if s_type[k] == 1 else res.del_sigs).append(sig)
-        # split-pair signatures from per-record geometry
-        csel = np.nonzero((ref == rid) & (mapq >= cfg.min_mapq))[0]
+        # split-pair signatures from per-record geometry (cuteSV
+        # analysis_split_read conventions; rstart/rend are already
+        # forward-read-space in the native output)
+        csel = np.nonzero((ref == rid) & (mapq >= cfg.min_mapq)
+                          & (rlen >= cfg.min_read_len))[0]
         if csel.size:
             order = np.argsort(name[csel], kind="stable")
             grp = csel[order]
@@ -93,31 +102,26 @@ def scan_bam_native(
             for a, b in zip(starts, ends):
                 if b - a < 2 or b - a > cfg.max_split_parts:
                     continue
-                idxs = grp[a:b][np.argsort(pos[grp[a:b]], kind="stable")]
+                idxs = grp[a:b][np.argsort(rstart[grp[a:b]], kind="stable")]
                 for x in range(len(idxs) - 1):
                     i1, i2 = idxs[x], idxs[x + 1]
                     if (flag[i1] ^ flag[i2]) & 0x10:
                         continue
-                    # stored-strand clip coordinates (reference
-                    # extract_sig_from_split uses cigar-order clips)
-                    def stored(i):
-                        if flag[i] & 0x10:
-                            return rlen[i] - rend[i], rlen[i] - rstart[i]
-                        return rstart[i], rend[i]
-                    s1, e1 = stored(i1)
-                    s2, e2 = stored(i2)
-                    if e1 >= rlen[i1] or s2 <= 0:   # need tail/head clips
-                        continue
-                    diffdis = (pos[i2] - end[i1]) - (s2 - e1)
-                    diffolp = end[i1] - pos[i2]
-                    if abs(diffdis) > cfg.max_sv_size or diffolp >= 30:
-                        continue
+                    dis_ref = int(pos[i2] - end[i1])
+                    dis_read = int(rstart[i2] - rend[i1])
+                    ins_len = dis_read - dis_ref
+                    del_len = dis_ref - dis_read
                     nm = str(name_str[i1])
-                    if diffdis >= cfg.min_sv_size:
-                        res.del_sigs.append(RawSig(int(end[i1]), int(diffdis), nm))
-                    elif diffdis <= -cfg.min_sv_size:
-                        svlen = abs(int(s2 - e1 + diffolp))
-                        res.ins_sigs.append(RawSig(int(pos[i2]), svlen, nm))
+                    if (dis_ref < cfg.min_sv_size
+                            and ins_len >= cfg.min_sv_size
+                            and dis_ref <= 100
+                            and ins_len <= cfg.max_sv_size):
+                        mid = int(pos[i2] + end[i1]) // 2
+                        res.ins_sigs.append(RawSig(mid, ins_len, nm))
+                    if (del_len >= cfg.min_sv_size and dis_read <= 100
+                            and del_len <= cfg.max_sv_size):
+                        res.del_sigs.append(
+                            RawSig(int(end[i1]), del_len, nm))
         res.del_sigs.sort(key=lambda s: s.pos)
         res.ins_sigs.sort(key=lambda s: s.pos)
         out[chrom] = res

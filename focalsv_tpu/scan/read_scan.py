@@ -106,27 +106,54 @@ def _combine(sigs: list[RawSig], merge_dis: int, is_ins: bool) -> list[RawSig]:
 
 def split_read_signatures(
     geoms: list[dict], cfg: ReadScanConfig, read_name: str,
+    fwd_seq: np.ndarray | None = None,
 ) -> tuple[list[RawSig], list[RawSig]]:
-    """DEL/INS from adjacent same-strand split segments (SA-tag analog)."""
+    """DEL/INS from adjacent same-strand split segments.
+
+    Port of cuteSV's analysis_split_read same-chrom same-strand branch
+    (Reads_Based_Scan.py:183-218): coordinates are flipped to forward-read
+    space, segments sorted by read start, and for each adjacent pair with
+    dis_ref = ref gap, dis_read = read gap:
+
+    - INS: dis_ref < SV_size, dis_read - dis_ref >= SV_size, dis_ref <= 100,
+      len <= MaxSize; pos = midpoint of the ref gap; the inserted sequence is
+      the forward-read slice between the segments (:203-210).
+    - DEL: dis_ref - dis_read >= SV_size, dis_read <= 100, len <= MaxSize;
+      pos = left segment's ref end (:212-218).
+    """
     dels: list[RawSig] = []
     inss: list[RawSig] = []
     if len(geoms) < 2 or len(geoms) > cfg.max_split_parts:
         return dels, inss
-    gs = sorted(geoms, key=lambda g: g["ref_start"])
-    for i in range(len(gs) - 1):
-        g1, g2 = gs[i], gs[i + 1]
-        if g1["strand"] != g2["strand"]:
+    fwd = []
+    for g in geoms:
+        if g["strand"]:
+            fs = g["read_len"] - g["read_end"]
+            fe = g["read_len"] - g["read_start"]
+        else:
+            fs, fe = g["read_start"], g["read_end"]
+        fwd.append(dict(g, fs=fs, fe=fe))
+    fwd.sort(key=lambda g: g["fs"])
+    for a, b in zip(fwd[:-1], fwd[1:]):
+        if a["strand"] != b["strand"]:
             continue
-        diffdis = (g2["ref_start"] - g1["ref_end"]) - (
-            g2["read_start"] - g1["read_end"])
-        diffolp = g1["ref_end"] - g2["ref_start"]
-        if abs(diffdis) > cfg.max_sv_size or diffolp >= 30:
-            continue
-        if diffdis >= cfg.min_sv_size:
-            dels.append(RawSig(g1["ref_end"], diffdis, read_name))
-        elif diffdis <= -cfg.min_sv_size:
-            svlen = abs(g2["read_start"] - g1["read_end"] + diffolp)
-            inss.append(RawSig(g2["ref_start"], svlen, read_name))
+        dis_ref = b["ref_start"] - a["ref_end"]
+        dis_read = b["fs"] - a["fe"]
+        ins_len = dis_read - dis_ref
+        del_len = dis_ref - dis_read
+        if (dis_ref < cfg.min_sv_size and ins_len >= cfg.min_sv_size
+                and dis_ref <= 100 and ins_len <= cfg.max_sv_size):
+            pos = (b["ref_start"] + a["ref_end"]) // 2
+            seq = None
+            if fwd_seq is not None:
+                lo = a["fe"] + max(dis_ref, 0) // 2
+                seq = fwd_seq[lo : lo + ins_len].copy()
+                if len(seq) < ins_len:
+                    seq = None
+            inss.append(RawSig(int(pos), int(ins_len), read_name, seq))
+        if (del_len >= cfg.min_sv_size and dis_read <= 100
+                and del_len <= cfg.max_sv_size):
+            dels.append(RawSig(int(a["ref_end"]), int(del_len), read_name))
     return dels, inss
 
 
@@ -139,24 +166,37 @@ class ScanResult:
 
 
 def scan_records(records, cfg: ReadScanConfig) -> ScanResult:
-    """Collect all signatures from an iterable of BamRecords (one chrom)."""
+    """Collect all signatures from an iterable of BamRecords (one chrom).
+
+    Gating mirrors cuteSV parse_read: every record (primary AND supplementary)
+    with mapq >= min_mapq and query_length >= min_read_len contributes CIGAR
+    signatures; spanning intervals for genotyping come from primaries only
+    (count_coverage fetches flags 0/16 with no length filter)."""
     out = ScanResult()
     from focalsv_tpu.signatures.contig import _aln_geometry
+    from focalsv_tpu.ops import encode as enc
     geoms: dict[str, list[dict]] = {}
+    fwd_seqs: dict[str, np.ndarray] = {}
     for rec in records:
         if rec.is_unmapped or rec.is_secondary:
             continue
         if not rec.is_supplementary:
-            d, i = collect_read_signatures(rec, cfg)
-            out.del_sigs.extend(d)
-            out.ins_sigs.extend(i)
             out.read_spans.append((rec.name, rec.pos, rec.reference_end))
-        if rec.mapq >= cfg.min_mapq and rec.cigar.shape[0]:
-            geoms.setdefault(rec.name, []).append(_aln_geometry(
-                rec.cigar.astype(np.int64), rec.pos, rec.mapq,
-                int(rec.is_reverse), 0))
+        d, i = collect_read_signatures(rec, cfg)
+        out.del_sigs.extend(d)
+        out.ins_sigs.extend(i)
+        if rec.mapq >= cfg.min_mapq and rec.cigar.shape[0] \
+                and rec.query_length >= cfg.min_read_len:
+            g = _aln_geometry(rec.cigar.astype(np.int64), rec.pos, rec.mapq,
+                              int(rec.is_reverse), 0)
+            geoms.setdefault(rec.name, []).append(g)
+            # keep one full-length forward-strand sequence per read for
+            # split-INS sequence attachment (soft-clipped primaries carry it)
+            if rec.name not in fwd_seqs and rec.seq.shape[0] == g["read_len"]:
+                fwd_seqs[rec.name] = (enc.revcomp(rec.seq) if rec.is_reverse
+                                      else rec.seq)
     for name, gs in geoms.items():
-        d, i = split_read_signatures(gs, cfg, name)
+        d, i = split_read_signatures(gs, cfg, name, fwd_seqs.get(name))
         out.del_sigs.extend(d)
         out.ins_sigs.extend(i)
     out.del_sigs.sort(key=lambda s: s.pos)

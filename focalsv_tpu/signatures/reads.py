@@ -62,8 +62,11 @@ def extract_read_sigs(
                                  svlen=diffdis, rstart=g1["read_end"],
                                  rend=g2["read_start"]))
             elif diffdis <= -30:
-                svlen = abs(g2["read_start"] - g1["read_end"] + diffolp)
-                rows.append(dict(base, svtype=INS, pos=g2["ref_start"],
-                                 svlen=svlen, rstart=g1["read_end"] - diffolp,
+                # reference emits the ref-gap midpoint and |Diffdis|
+                # (extract_reads_signature.py:155-157)
+                svlen = abs(diffdis)
+                pos = (g1["ref_end"] + g2["ref_start"]) // 2
+                rows.append(dict(base, svtype=INS, pos=pos, svlen=svlen,
+                                 rstart=g1["read_end"],
                                  rend=g2["read_start"]))
     return Sigs.from_rows(rows, names).sort_by_pos()
