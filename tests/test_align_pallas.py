@@ -30,11 +30,15 @@ def test_pallas_matches_scan(interpret_mode, seed):
     for b in range(B):
         i0 = int(rng.integers(10, 60))
         ln = int(rng.integers(1, 20))
-        if b % 2:
+        if b % 3 == 0:
             q[b, i0 : i0 + ln] = rng.integers(0, 4)
-        else:
+        elif b % 3 == 1:
             q[b] = np.concatenate([np.delete(q[b], slice(i0, i0 + ln)),
                                    np.full(ln, 5, np.uint8)])
+        else:
+            # leading query insertion: exercises the j==0 (F-only) column
+            q[b] = np.concatenate([rng.integers(0, 4, ln).astype(np.uint8),
+                                   q[b][: L - ln]])
     q_len = rng.integers(60, L - 20, B).astype(np.int32)
     t_len = rng.integers(80, L + 1, B).astype(np.int32)
     d_lo = np.clip(((t_len - q_len) // 2 - W // 2),
