@@ -84,7 +84,10 @@ def match_records(
             size_sim = min(lt, lc) / max(lt, lc, 1)
             if size_sim < pctsize:
                 continue
-            if check_seq and _svtype(t) == "INS" and len(t.alt) > 1 and len(c.alt) > 1:
+            if (check_seq and _svtype(t) == "INS"
+                    and len(t.alt) > 1 and len(c.alt) > 1
+                    and not t.alt.startswith("<")
+                    and not c.alt.startswith("<")):
                 sim = alignops.edit_similarity(
                     enc.encode(t.alt[1:]), enc.encode(c.alt[1:]))
                 if sim < pctsim:

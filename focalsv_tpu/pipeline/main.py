@@ -203,10 +203,16 @@ def run_target_mode(
     resume: bool = False,
     chrom_filter: str | None = None,
     num_workers: int = 4,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> str:
     """Target-mode entry (reference focalsv.py --target_bed | -S/-E).
 
-    Returns the path of the final merged VCF."""
+    With process_count > 1, each host takes its span-balanced shard of the
+    region list (parallel/distributed.py; the SLURM-per-chromosome analog),
+    writes a per-host VCF, and host 0 merges.  Returns the final VCF path
+    (per-host path on non-zero hosts).
+    """
     os.makedirs(out_dir, exist_ok=True)
     bam = bamio.BamReader(bam_path)
     fasta = FastaFile.load(ref_path)
@@ -219,6 +225,9 @@ def run_target_mode(
     else:
         assert chrom is not None and start is not None and end is not None
         regions = [Region(chrom, int(start), int(end))]
+    if process_count > 1:
+        from focalsv_tpu.parallel import distributed as dist
+        regions = dist.shard_regions(regions, process_index, process_count)
     by_chrom = split_by_chrom(regions)
     chrom_vcfs = []
     for c, regs in sorted(by_chrom.items()):
@@ -237,6 +246,16 @@ def run_target_mode(
         write_vcf(vcf_path, cres.records,
                   contigs={c: fasta.lengths()[c]} if c in fasta.seqs else None)
         chrom_vcfs.append(vcf_path)
+    if process_count > 1:
+        from focalsv_tpu.parallel import distributed as dist
+        host_vcf = dist.host_vcf_path(out_dir, process_index)
+        merge_vcfs(chrom_vcfs, host_vcf, contigs=fasta.lengths())
+        if process_index != 0:
+            return host_vcf
+        # host 0 merges every host's shard (best effort: present files only)
+        final = dist.merge_host_vcfs(out_dir, process_count)
+        logger.info("final VCF: %s", final)
+        return final
     final = os.path.join(out_dir, "FocalSV_Final_SV.vcf")
     merge_vcfs(chrom_vcfs, final, contigs=fasta.lengths())
     logger.info("final VCF: %s", final)
