@@ -44,12 +44,16 @@ def paired_sig_to_vcf(
     """Attach sequences and build VCF records (add_seq_to_sig :598-631)."""
     contigs = dict(contigs_hp1)
     contigs.update(contigs_hp2)
+    from focalsv_tpu.ops.normalize import left_align_del, left_align_ins
     records: list[VcfRecord] = []
     counters = {DEL: 0, INS: 0}
     for sig in paired:
         pos0 = sig.pos - ref_offset          # 0-based index into ref
         if pos0 < 1 or pos0 >= len(ref):
             continue
+        if sig.svtype == DEL and pos0 + sig.svlen <= len(ref):
+            # canonical leftmost placement (repeat-ambiguous indels)
+            pos0 = left_align_del(ref, pos0, sig.svlen)
         anchor = enc.decode(ref[pos0 - 1 : pos0])
         if sig.svtype == DEL:
             deleted = enc.decode(ref[pos0 : pos0 + sig.svlen])
@@ -72,13 +76,15 @@ def paired_sig_to_vcf(
             ins_seq = stored[sig.rstart : sig.rend]
             if len(ins_seq) == 0:
                 continue
+            pos0, ins_seq = left_align_ins(ref, pos0, ins_seq)
+            anchor = enc.decode(ref[pos0 - 1 : pos0])
             ref_allele = anchor
             alt_allele = anchor + enc.decode(ins_seq)
             svlen = len(alt_allele) - 1
             tname = "INS"
         counters[sig.svtype] += 1
         records.append(VcfRecord(
-            chrom=chrom, pos=sig.pos, ref=ref_allele, alt=alt_allele,
+            chrom=chrom, pos=pos0 + ref_offset, ref=ref_allele, alt=alt_allele,
             id=f"{id_prefix}.{chrom}.{tname}.{counters[sig.svtype]}",
             qual="20", filter="PASS",
             info=dict(SVLEN=svlen, SVTYPE=tname, TIG_REGION=sig.tig_region,

@@ -79,7 +79,7 @@ def chain_anchors(
                 if score >= min_score:
                     split.append(Chain(anchors=piece, score=score,
                                        rel_strand=c.rel_strand))
-    chains = split
+    chains = _join_colinear(split, k, q_len)
     chains.sort(key=lambda c: -c.score)
     # primary/secondary masking: drop chains whose query span is mostly covered
     kept: list[Chain] = []
@@ -97,6 +97,66 @@ def chain_anchors(
         if len(kept) >= max_chains:
             break
     return kept
+
+
+def _q_span(c: Chain, k: int, q_len: int | None) -> tuple[int, int]:
+    """Chain's query span in ORIGINAL query coordinates."""
+    lo = int(c.anchors[:, 1].min())
+    hi = int(c.anchors[:, 1].max()) + k
+    if c.rel_strand == 1 and q_len is not None:
+        lo, hi = q_len - hi, q_len - lo
+    return lo, hi
+
+
+def _join_colinear(chains: list[Chain], k: int, q_len: int | None,
+                   max_join_gap: int = 100_000) -> list[Chain]:
+    """Re-join same-strand chains that are colinear across a gap.
+
+    The split heuristics (divergent interior, side-path masking) can cut one
+    true alignment crossing a repeat tract into clipped pieces; pieces whose
+    coordinates continue forward in both query and target are merged back so
+    the gap resolves in the banded DP (e.g. a deletion inside a tandem
+    repeat).  A join is vetoed when a DIFFERENT chain covers the query gap --
+    that is the inversion/duplication signature, which must stay split."""
+    out: list[Chain] = []
+    for rel in (0, 1):
+        cs = sorted([c for c in chains if c.rel_strand == rel],
+                    key=lambda c: int(c.anchors[0, 0]))
+        merged: list[Chain] = []
+        for c in cs:
+            if merged:
+                p = merged[-1]
+                pt = int(p.anchors[-1, 0])
+                pq = int(p.anchors[-1, 1])
+                a = c.anchors
+                keep = (a[:, 0] > pt + k) & (a[:, 1] > pq + k)
+                # allow trimming the overlapping head, but not most of it
+                if keep.any() and keep.sum() >= max(3, a.shape[0] // 5):
+                    first = a[keep][0]
+                    dt = int(first[0]) - pt
+                    dq = int(first[1]) - pq
+                    if 0 < dt <= max_join_gap and 0 < dq <= max_join_gap:
+                        # veto if another chain covers the query gap
+                        gq_lo, gq_hi = sorted((pq + k, int(first[1])))
+                        if c.rel_strand == 1 and q_len is not None:
+                            gq_lo, gq_hi = q_len - gq_hi, q_len - gq_lo
+                        gap_w = max(gq_hi - gq_lo, 1)
+                        covered = False
+                        for o in chains:
+                            if o is p or o is c:
+                                continue
+                            lo, hi = _q_span(o, k, q_len)
+                            if min(hi, gq_hi) - max(lo, gq_lo) > 0.5 * gap_w:
+                                covered = True
+                                break
+                        if not covered:
+                            p.anchors = np.concatenate([p.anchors, a[keep]])
+                            p.score += c.score
+                            continue
+            merged.append(Chain(anchors=c.anchors.copy(), score=c.score,
+                                rel_strand=rel))
+        out.extend(merged)
+    return out
 
 
 def _chain_one_strand(sub, k, max_pred, max_gap, min_score, min_anchors,

@@ -170,12 +170,21 @@ def process_chromosome(
         calls, scan = scan_chromosome(bam.fetch(chrom, 0, chrom_len), chrom,
                                       cfg.read_scan, genotype=True)
     draft = calls_to_vcf(calls, fasta.fetch(chrom), 0)
-    # FP filter with the chromosome's read signatures
+    # FP filter with the chromosome's read signatures (DEL positions
+    # left-aligned to match the normalized calls)
+    from focalsv_tpu.ops.normalize import left_align_del
     from focalsv_tpu.signatures.sigs import Sigs
+    chrom_ref = fasta.fetch(chrom)
     sig_rows = []
     names: list[str] = []
-    for s in scan.del_sigs + scan.ins_sigs:
-        sig_rows.append(dict(svtype=0, pos=s.pos, svlen=s.length, contig=0,
+    for s in scan.del_sigs:
+        p = s.pos
+        if 1 <= p and p + s.length <= chrom_len:
+            p = left_align_del(chrom_ref, p, s.length)
+        sig_rows.append(dict(svtype=0, pos=p, svlen=s.length, contig=0,
+                             rstart=0, rend=1, strand=0, source=0, mapq=60))
+    for s in scan.ins_sigs:
+        sig_rows.append(dict(svtype=1, pos=s.pos, svlen=s.length, contig=0,
                              rstart=0, rend=1, strand=0, source=0, mapq=60))
     read_sigs = Sigs.from_rows(sig_rows, names)
     kept, dropped = fp_filter_records(candidates, read_sigs, cfg.fp_filter)

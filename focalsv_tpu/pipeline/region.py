@@ -20,7 +20,21 @@ from focalsv_tpu.config import PipelineConfig
 from focalsv_tpu.io import bam as bamio
 from focalsv_tpu.io.vcf import VcfRecord
 from focalsv_tpu.phasing.phase import group_reads_by_block, phase_region
+from focalsv_tpu.ops.normalize import left_align_del
 from focalsv_tpu.signatures.reads import extract_read_sigs
+
+
+def _normalize_sigs(sigs, ref_codes, region_start) -> None:
+    """Left-align DEL signature positions in place (repeat canonicalization;
+    INS signatures match by position+size only, same canonical shift)."""
+    from focalsv_tpu.signatures.sigs import DEL as _DEL
+    L = len(ref_codes)
+    for i in range(len(sigs)):
+        p = int(sigs.pos[i]) - region_start
+        ln = int(sigs.svlen[i])
+        if 1 <= p and p + ln <= L:
+            if sigs.svtype[i] == _DEL:
+                sigs.pos[i] = left_align_del(ref_codes, p, ln) + region_start
 
 
 @dataclass
@@ -81,6 +95,7 @@ def process_region(
         read_sigs = extract_read_sigs(
             reads, min_cigar_mapq=cfg.read_scan.min_mapq,
             min_svlen=cfg.read_scan.min_sv_size)
+        _normalize_sigs(read_sigs, ref_codes, region_start)
         records, dropped = fp_filter_records(records, read_sigs, cfg.fp_filter)
         res.dropped.extend(dropped)
     if records:
