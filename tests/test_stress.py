@@ -103,6 +103,46 @@ def test_deletion_in_tandem_repeat():
         (r.info["SVTYPE"], r.pos, r.info["SVLEN"], r.gt) for r in res.records]
 
 
+def test_repeat_expansion_insertion():
+    """A 200bp expansion (4 extra units) of a 50bp tandem repeat."""
+    from focalsv_tpu.io import bam as bamio
+
+    rng = np.random.default_rng(9)
+    unit = rng.integers(0, 4, 50).astype(np.uint8)
+    ref = np.concatenate([
+        rng.integers(0, 4, 12_000).astype(np.uint8),
+        np.tile(unit, 40),
+        rng.integers(0, 4, 12_000).astype(np.uint8)])
+    svs = [sim.SimSV("INS", 12_500, 200, "1/1", seq=np.tile(unit, 4))]
+    snps = []
+    for p in list(range(500, 11_500, 700)) + list(range(14_500, 25_000, 700)):
+        snps.append(sim.SimSNP(p, int(ref[p]), (int(ref[p]) + 1) % 4,
+                               "1|0" if p % 2 else "0|1"))
+    snps.sort(key=lambda s: s.pos)
+    haps = (sim.apply_variants(ref, svs, snps, 0),
+            sim.apply_variants(ref, svs, snps, 1))
+    region = sim.SimulatedRegion(chrom="chr21", ref=ref, haps=haps,
+                                 svs=svs, snps=snps)
+    rng2 = np.random.default_rng(3)
+    for i in range(50):
+        h = i % 2
+        hap = haps[h]
+        rl = min(12_000, len(hap.seq))
+        s = int(rng2.integers(0, len(hap.seq) - rl + 1))
+        rs, cig = sim._true_cigar(hap, s, s + rl)
+        if not cig:
+            continue
+        seq = hap.seq[s : s + rl].copy()
+        region.reads.append(bamio.BamRecord(
+            name=f"r{h}_{i}", flag=0, ref_id=0, pos=rs, mapq=60,
+            cigar=np.array(cig, np.int32).reshape(-1, 2), seq=seq,
+            qual=np.full(len(seq), 40, np.uint8)))
+        region.read_hap.append(h)
+    bench, res = _run(region, check_seq=False)
+    assert bench.recall == 1.0, [
+        (r.info["SVTYPE"], r.pos, r.info["SVLEN"], r.gt) for r in res.records]
+
+
 def test_no_sv_region_clean():
     """A region with no SVs must produce (almost) no >=50bp calls."""
     region = sim.simulate_region(seed=305, ref_len=25_000, coverage=22,
