@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     p.add_argument("--out_dir", "-o", default="./FocalSV_complex")
     p.add_argument("--indel_vcf", default=None,
                    help="FocalSV INDEL VCF for the INS->DUP recovery route")
+    p.add_argument("--focalsv_out_dir", default=None,
+                   help="indel-pipeline out_dir for the contig-route DUP "
+                        "caller (reads chr*/regions/*/HP*.fa)")
     p.add_argument("--min_support", type=int, default=2)
     p.add_argument("--state", choices=["Tumor", "Normal"], default="Normal",
                    help="sample state for the DUP round-2 feature bands")
@@ -87,6 +90,10 @@ def main(argv=None) -> int:
             ins_records=ins_records, ref_by_chrom=ref,
             min_support=args.min_support)
         records = res.all_records()
+        if args.focalsv_out_dir and ref is not None:
+            records = records + ctarget.call_dup_from_contigs(
+                args.focalsv_out_dir, ref, args.data_type,
+                min_support=1)
     write_vcf(out_vcf, records,
               contigs=dict(zip(bam.ref_names, bam.ref_lens)))
     print(out_vcf)

@@ -92,6 +92,68 @@ def recover_dup_from_ins(
     return out
 
 
+def call_dup_from_contigs(
+    out_dir: str,
+    ref_by_chrom,                     # FastaFile or chrom->codes mapping
+    data_type: str = "HIFI",
+    min_support: int = 1,
+    min_sv_size: int = 30,
+) -> list[VcfRecord]:
+    """Contig-route DUP calling: align the indel pipeline's per-region
+    haplotype contigs (out_dir/chr*/regions/*/HP{1,2}.fa) back to the
+    reference and run the split-segment DUP geometry on them -- the
+    framework's replacement for the reference's minimap2-asm10 + vendored
+    svim-asm diploid route (call_DUP_from_contigs.py:57-130)."""
+    import glob
+    import os
+
+    from focalsv_tpu.io.fasta import FastaFile
+
+    records_by_chrom: dict[str, list[bamio.BamRecord]] = {}
+    for fa_path in sorted(glob.glob(
+            os.path.join(out_dir, "chr*", "regions", "Region_*", "HP*.fa"))):
+        region_name = os.path.basename(os.path.dirname(fa_path))
+        # Region_chr21_S12345_E67890
+        parts = region_name.split("_")
+        chrom = parts[1]
+        start = int(parts[2][1:])
+        end = int(parts[3][1:])
+        try:
+            chrom_seq = ref_by_chrom.fetch(chrom) if hasattr(ref_by_chrom, "fetch") \
+                else ref_by_chrom[chrom]
+        except KeyError:
+            continue
+        pad = max(end - start, 50_000)
+        ws = max(0, start - pad)
+        we = min(len(chrom_seq), end + pad)
+        window = np.asarray(chrom_seq[ws:we], np.uint8)
+        fa = FastaFile.load(fa_path)
+        aligner = Aligner(window, t_name=chrom)
+        for name in fa.names:
+            seq = fa.fetch(name)
+            alns = aligner.align(np.asarray(seq, np.uint8),
+                                 f"{region_name}_{name}")
+            for a in alns:
+                rec = aligner.to_bam_record(a, np.asarray(seq, np.uint8), alns)
+                rec.pos += ws
+                records_by_chrom.setdefault(chrom, []).append(rec)
+    res = cauto.call_complex_auto(records_by_chrom, data_type)
+    out: list[VcfRecord] = []
+    n = 0
+    for chrom, svs in sorted(res.dups.items()):
+        for s in svs:
+            if s.support < min_support or s.end - s.start < min_sv_size:
+                continue
+            n += 1
+            out.append(VcfRecord(
+                chrom=chrom, pos=s.start + 1, id=f"focalsv.DUP.contig.{n}",
+                ref="N", alt="<DUP>", qual=".", filter="PASS",
+                info=dict(SVTYPE="DUP", END=s.end + 1,
+                          SVLEN=s.end - s.start, SUPPORT=s.support,
+                          SIG_SOURCE="contig"), gt="./."))
+    return out
+
+
 @dataclass
 class TargetComplexResult:
     invs: list[VcfRecord] = field(default_factory=list)

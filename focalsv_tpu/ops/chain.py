@@ -136,19 +136,34 @@ def _join_colinear(chains: list[Chain], k: int, q_len: int | None,
                     dt = int(first[0]) - pt
                     dq = int(first[1]) - pq
                     if 0 < dt <= max_join_gap and 0 < dq <= max_join_gap:
-                        # veto if another chain covers the query gap
-                        gq_lo, gq_hi = sorted((pq + k, int(first[1])))
-                        if c.rel_strand == 1 and q_len is not None:
-                            gq_lo, gq_hi = q_len - gq_hi, q_len - gq_lo
+                        # veto if the query gap is covered by another chain
+                        # OR by the portion of c the trim would discard (a
+                        # duplicated block maps the gap's content elsewhere
+                        # on the target -- that geometry must survive)
+                        gq_lo, gq_hi = pq + k, int(first[1])
                         gap_w = max(gq_hi - gq_lo, 1)
                         covered = False
-                        for o in chains:
-                            if o is p or o is c:
-                                continue
-                            lo, hi = _q_span(o, k, q_len)
-                            if min(hi, gq_hi) - max(lo, gq_lo) > 0.5 * gap_w:
+                        dropped = a[~keep]
+                        in_gap = dropped[(dropped[:, 1] + k > gq_lo)
+                                         & (dropped[:, 1] < gq_hi)]
+                        if in_gap.shape[0]:
+                            span_d = int(in_gap[:, 1].max()
+                                         - in_gap[:, 1].min()) + k
+                            # only SV-scale skipped content signals a
+                            # duplication; tiny overlaps are repeat slack
+                            if span_d > max(500, 0.5 * gap_w):
                                 covered = True
-                                break
+                        if not covered:
+                            og_lo, og_hi = gq_lo, gq_hi
+                            if c.rel_strand == 1 and q_len is not None:
+                                og_lo, og_hi = q_len - gq_hi, q_len - gq_lo
+                            for o in chains:
+                                if o is p or o is c:
+                                    continue
+                                lo, hi = _q_span(o, k, q_len)
+                                if min(hi, og_hi) - max(lo, og_lo) > 0.5 * gap_w:
+                                    covered = True
+                                    break
                         if not covered:
                             p.anchors = np.concatenate([p.anchors, a[keep]])
                             p.score += c.score
