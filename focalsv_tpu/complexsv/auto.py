@@ -217,7 +217,6 @@ class AutoComplexResult:
 def call_complex_auto(
     records_by_chrom: dict[str, list[bamio.BamRecord]],
     data_type: str = "HIFI",
-    mean_cov: float | None = None,
 ) -> AutoComplexResult:
     """Classify split reads and call INV/DUP/TRA candidates genome-wide."""
     params = AUTO_PARAMS[data_type]
@@ -292,7 +291,6 @@ def call_complex_auto(
 
 def filter_dups(
     dups: list[ClusteredSV], mean_cov: float, data_type: str,
-    spans: np.ndarray | None = None,
 ) -> list[ClusteredSV]:
     """Round-1 DUP filter (process_dup.py first_round_filter :45-66)."""
     p = AUTO_PARAMS[data_type]

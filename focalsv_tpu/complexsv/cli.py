@@ -42,7 +42,7 @@ def main(argv=None) -> int:
     from focalsv_tpu.io.vcf import read_vcf, write_vcf
 
     os.makedirs(args.out_dir, exist_ok=True)
-    bam = bamio.BamReader(args.bam_file)
+    bam = bamio.ensure_indexed(args.bam_file)
     out_vcf = os.path.join(args.out_dir, "FocalSV_TRA_INV_DUP.vcf")
 
     if args.mode == "auto":
@@ -55,9 +55,9 @@ def main(argv=None) -> int:
 
         from focalsv_tpu.utils.coverage import dup_round2_filter
         for chrom in list(res.dups):
-            # estimate mean coverage + spans from primary records
+            # coverage spans from the already-fetched records
             spans = np.array(
-                [[r.pos, r.reference_end] for r in bam.fetch(chrom)
+                [[r.pos, r.reference_end] for r in records_by_chrom[chrom]
                  if not r.is_secondary and not r.is_supplementary],
                 np.int64).reshape(-1, 2)
             ref_len = dict(zip(bam.ref_names, bam.ref_lens))[chrom]
@@ -80,11 +80,15 @@ def main(argv=None) -> int:
         regions_by_type = ctarget.split_typed_bed(rows)
         ins_records = None
         ref = None
-        if args.indel_vcf and args.ref_file:
+        if args.ref_file:
             from focalsv_tpu.io.fasta import FastaFile
+            ref = FastaFile.load(args.ref_file)
+        if args.indel_vcf and ref is not None:
             _, all_recs = read_vcf(args.indel_vcf)
             ins_records = [r for r in all_recs if r.svtype == "INS"]
-            ref = FastaFile.load(args.ref_file)
+        if args.focalsv_out_dir and ref is None:
+            print("--focalsv_out_dir requires --ref_file; skipping the "
+                  "contig-route DUP caller", file=sys.stderr)
         res = ctarget.call_complex_target(
             bam, regions_by_type, args.data_type,
             ins_records=ins_records, ref_by_chrom=ref,

@@ -63,12 +63,13 @@ def recover_dup_from_ins(
         aligner = Aligner(window, t_name=rec.chrom)
         alns = aligner.align(ins_seq, rec.id, min_chain_score=20)
         cands = []
+        pos0 = rec.pos - 1               # VCF POS is 1-based
         for a in alns:
             start_aln = ws + a.t_start
             end_aln = ws + a.t_end
             svlen_aln = end_aln - start_aln
             size_sim = min(svlen_aln, svlen) / max(svlen_aln, svlen, 1)
-            shift = min(abs(start_aln - rec.pos), abs(end_aln - rec.pos))
+            shift = min(abs(start_aln - pos0), abs(end_aln - pos0))
             shift_ratio = shift / max(svlen, 1)
             if (a.mapq >= min_mapq and size_sim >= min_size_sim
                     and shift <= max_shift and shift_ratio <= max_shift_ratio):
@@ -84,9 +85,9 @@ def recover_dup_from_ins(
             best = cands[0]
         n += 1
         out.append(VcfRecord(
-            chrom=rec.chrom, pos=best[3], id=f"focalsv.DUP.recover.{n}",
+            chrom=rec.chrom, pos=best[3] + 1, id=f"focalsv.DUP.recover.{n}",
             ref=".", alt="<DUP>", qual="20", filter="PASS",
-            info=dict(SVTYPE="DUP", END=best[4], SVLEN=best[4] - best[3],
+            info=dict(SVTYPE="DUP", END=best[4] + 1, SVLEN=best[4] - best[3],
                       READS=rec.info.get("TIG_REGION", ".")),
             gt=rec.gt))
     return out

@@ -281,7 +281,7 @@ def _encode_tags(tags: dict) -> bytes:
     return bytes(out)
 
 
-def parse_record(buf: bytes, ref_names: list[str]) -> BamRecord:
+def parse_record(buf: bytes, ref_names: list[str] | None = None) -> BamRecord:
     (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
      next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", buf, 0)
     p = 32
@@ -500,6 +500,19 @@ class BamReader:
         for rec in self:
             if rec.ref_id == rid and rec.pos < end and rec.reference_end > start:
                 yield rec
+
+
+def ensure_indexed(path: str) -> "BamReader":
+    """Open a BAM, building the .bai first if missing (replaces the implicit
+    `samtools index` step; avoids O(regions x whole-file) linear fallbacks)."""
+    reader = BamReader(path)
+    if reader.bai is None:
+        try:
+            build_bai(path)
+            reader = BamReader(path)
+        except Exception:
+            pass   # unsorted/edge-case BAM: linear-scan fallback still works
+    return reader
 
 
 class BamWriter:

@@ -28,7 +28,7 @@ _scan_tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+            ["g++", "-O3", "-shared", "-fPIC", _SRC,
              "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True

@@ -49,12 +49,14 @@ struct BgzfStream {
         if (std::fread(head, 1, 18, f) != 18) return false;
         const uint16_t xlen = head[10] | (head[11] << 8);
         std::vector<uint8_t> extra(xlen);
+        const size_t in_head = xlen < 6 ? xlen : 6;
+        std::memcpy(extra.data(), head + 12, in_head);
         if (xlen > 6) {
-            std::memcpy(extra.data(), head + 12, 6);
             if (std::fread(extra.data() + 6, 1, xlen - 6, f) != (size_t)(xlen - 6))
                 return false;
-        } else {
-            std::memcpy(extra.data(), head + 12, xlen);
+        } else if (xlen < 6) {
+            // header over-read: push back the surplus bytes
+            if (std::fseek(f, -(long)(6 - xlen), SEEK_CUR) != 0) return false;
         }
         size_t bsize = 0, p = 0;
         while (p + 4 <= xlen) {
@@ -241,7 +243,8 @@ int bamscan_run(const char* path, int min_mapq, int min_svlen,
                                     pos + shift_del + ln});
                 shift_del += ln;
             }
-            if (op != CDEL) shift_ins_read += ln;
+            // N (ref skip) and P (pad) consume no query bases
+            if (op != CDEL && op != CREF_SKIP && op != 6) shift_ins_read += ln;
             if (op == CMATCH || op == CDEL || op == CEQ || op == CDIFF)
                 shift_ins += ln;
             if (op == CINS && ln >= min_svlen) {

@@ -124,6 +124,10 @@ class DPBatcher:
             self.n_batches += 1
             self.n_jobs += B
         except Exception:
+            import logging
+            logging.getLogger("focalsv_tpu.batch_executor").exception(
+                "batched DP failed for %d jobs (key=%s); resolving with NEG",
+                len(jobs), jobs[0].key)
             for j in jobs:
                 j.score = alignops.NEG
                 j.dirs = np.zeros((Lq, band), np.uint8)

@@ -158,34 +158,30 @@ def process_chromosome(
         return res
     # chromosome-level read-signature scan (FP-filter + step-5 evidence +
     # draft VCF for CLR/ONT GT imputation); native C++ scanner when available
-    scan = _native_chrom_scan(bam, chrom, cfg)
-    if scan is not None:
-        from focalsv_tpu.scan.read_scan import cluster_signatures
-        calls = cluster_signatures(scan.del_sigs, chrom, "DEL",
-                                   cfg.read_scan, scan, True)
-        calls += cluster_signatures(scan.ins_sigs, chrom, "INS",
-                                    cfg.read_scan, scan, True)
-        calls.sort(key=lambda c: c.pos)
-    else:
-        calls, scan = scan_chromosome(bam.fetch(chrom, 0, chrom_len), chrom,
-                                      cfg.read_scan, genotype=True)
-    draft = calls_to_vcf(calls, fasta.fetch(chrom), 0)
-    # FP filter with the chromosome's read signatures (DEL positions
-    # left-aligned to match the normalized calls)
-    from focalsv_tpu.ops.normalize import left_align_del
-    from focalsv_tpu.signatures.sigs import Sigs
+    from focalsv_tpu.scan.read_scan import (cluster_signatures,
+                                            normalize_scan_result)
     chrom_ref = fasta.fetch(chrom)
+    scan = _native_chrom_scan(bam, chrom, cfg)
+    if scan is None:
+        _, scan = scan_chromosome(bam.fetch(chrom, 0, chrom_len), chrom,
+                                  cfg.read_scan, genotype=False)
+    # canonicalize signature coordinates ONCE; the FP filter, the draft
+    # calls, and the refinement stack all see normalized positions
+    normalize_scan_result(scan, chrom_ref)
+    calls = cluster_signatures(scan.del_sigs, chrom, "DEL",
+                               cfg.read_scan, scan, True)
+    calls += cluster_signatures(scan.ins_sigs, chrom, "INS",
+                                cfg.read_scan, scan, True)
+    calls.sort(key=lambda c: c.pos)
+    draft = calls_to_vcf(calls, chrom_ref, 0)
+    from focalsv_tpu.signatures.sigs import Sigs
     sig_rows = []
     names: list[str] = []
-    for s in scan.del_sigs:
-        p = s.pos
-        if 1 <= p and p + s.length <= chrom_len:
-            p = left_align_del(chrom_ref, p, s.length)
-        sig_rows.append(dict(svtype=0, pos=p, svlen=s.length, contig=0,
-                             rstart=0, rend=1, strand=0, source=0, mapq=60))
-    for s in scan.ins_sigs:
-        sig_rows.append(dict(svtype=1, pos=s.pos, svlen=s.length, contig=0,
-                             rstart=0, rend=1, strand=0, source=0, mapq=60))
+    for svt, sigs in ((0, scan.del_sigs), (1, scan.ins_sigs)):
+        for s in sigs:
+            sig_rows.append(dict(svtype=svt, pos=s.pos, svlen=s.length,
+                                 contig=0, rstart=0, rend=1, strand=0,
+                                 source=0, mapq=60))
     read_sigs = Sigs.from_rows(sig_rows, names)
     kept, dropped = fp_filter_records(candidates, read_sigs, cfg.fp_filter)
     # cross-region dedup
@@ -223,7 +219,7 @@ def run_target_mode(
     (per-host path on non-zero hosts).
     """
     os.makedirs(out_dir, exist_ok=True)
-    bam = bamio.BamReader(bam_path)
+    bam = bamio.ensure_indexed(bam_path)
     fasta = FastaFile.load(ref_path)
     if target_bed:
         regions = read_bed(target_bed)
@@ -234,13 +230,18 @@ def run_target_mode(
     else:
         assert chrom is not None and start is not None and end is not None
         regions = [Region(chrom, int(start), int(end))]
+    work_dir = out_dir
     if process_count > 1:
         from focalsv_tpu.parallel import distributed as dist
         regions = dist.shard_regions(regions, process_index, process_count)
+        # host-scoped work dir: chromosomes can straddle shard boundaries,
+        # so per-chromosome outputs must not share paths across hosts
+        work_dir = os.path.join(out_dir, f"host{process_index}_work")
+        os.makedirs(work_dir, exist_ok=True)
     by_chrom = split_by_chrom(regions)
     chrom_vcfs = []
     for c, regs in sorted(by_chrom.items()):
-        cdir = os.path.join(out_dir, c)
+        cdir = os.path.join(work_dir, c)
         os.makedirs(cdir, exist_ok=True)
         vcf_path = os.path.join(cdir, "FocalSV_Final_SV.vcf")
         if resume and os.path.exists(vcf_path):
@@ -258,7 +259,9 @@ def run_target_mode(
     if process_count > 1:
         from focalsv_tpu.parallel import distributed as dist
         host_vcf = dist.host_vcf_path(out_dir, process_index)
-        merge_vcfs(chrom_vcfs, host_vcf, contigs=fasta.lengths())
+        tmp = host_vcf + ".tmp"
+        merge_vcfs(chrom_vcfs, tmp, contigs=fasta.lengths())
+        os.replace(tmp, host_vcf)   # atomic: the merge barrier keys on this
         if process_index != 0:
             return host_vcf
         # host 0 merges every host's shard (best effort: present files only)
@@ -284,7 +287,7 @@ def run_auto_mode(
     """Auto-mode entry: step-0 region detection, then target mode
     (reference 0_define_region.py :520-543 + focalsv.py chr loop)."""
     os.makedirs(out_dir, exist_ok=True)
-    bam = bamio.BamReader(bam_path)
+    bam = bamio.ensure_indexed(bam_path)
     fasta = FastaFile.load(ref_path)
     if chroms is None:
         chroms = [c for c in bam.ref_names if c in fasta.seqs]

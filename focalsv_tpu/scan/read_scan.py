@@ -65,7 +65,9 @@ def collect_read_signatures(
             else:
                 dels.append(RawSig(pos_start + shift_del, ln, rec.name))
                 shift_del += ln
-        if op != bamio.CDEL:
+        # NOTE: cuteSV counts every non-D op here (parse_read :497), which
+        # miscounts query offsets for N/P ops; those consume no query bases
+        if op not in (bamio.CDEL, bamio.CREF_SKIP, bamio.CPAD):
             shift_ins_read += ln
         if op in (bamio.CMATCH, bamio.CDEL, bamio.CEQUAL, bamio.CDIFF):
             shift_ins += ln
@@ -202,6 +204,28 @@ def scan_records(records, cfg: ReadScanConfig) -> ScanResult:
     out.del_sigs.sort(key=lambda s: s.pos)
     out.ins_sigs.sort(key=lambda s: s.pos)
     return out
+
+
+def normalize_scan_result(scan: "ScanResult", ref_codes: np.ndarray,
+                          offset: int = 0) -> None:
+    """Left-align signature positions in place (ops/normalize.py): DELs via
+    the reference, INS via their carried sequence -- so shift-bounded
+    matching (FP filter, GT correction, draft-call comparison) sees the
+    same canonical coordinates as the normalized calls."""
+    from focalsv_tpu.ops.normalize import left_align_del, left_align_ins
+    L = len(ref_codes)
+    for s in scan.del_sigs:
+        p = s.pos - offset
+        if 1 <= p and p + s.length <= L:
+            s.pos = left_align_del(ref_codes, p, s.length) + offset
+    for s in scan.ins_sigs:
+        p = s.pos - offset
+        if s.seq is not None and len(s.seq) == s.length and 1 <= p <= L:
+            new_p, new_seq = left_align_ins(ref_codes, p, s.seq)
+            s.pos = new_p + offset
+            s.seq = new_seq
+    scan.del_sigs.sort(key=lambda s: s.pos)
+    scan.ins_sigs.sort(key=lambda s: s.pos)
 
 
 @dataclass
