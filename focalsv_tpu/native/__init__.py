@@ -89,6 +89,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ]
+        try:  # absent in a stale prebuilt library: callers fall back
+            lib.affine_banded_align.restype = ctypes.c_int64
+            lib.affine_banded_align.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+        except AttributeError:
+            pass
         _lib = lib
     except OSError:
         _lib = None
@@ -113,6 +124,28 @@ def chain_dp(t: np.ndarray, q: np.ndarray, k: int, max_pred: int,
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         pred.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return f, pred
+
+
+def affine_banded_align(q: np.ndarray, t: np.ndarray, d_lo: int, band: int,
+                        match: int, mismatch: int, gap_open: int,
+                        gap_extend: int):
+    """Host banded affine DP with direction bits (ops/align.py semantics).
+
+    Returns (score, dirs (len(q), band) uint8) for ops/align.py::traceback,
+    or None if the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "affine_banded_align"):
+        return None
+    q8 = np.ascontiguousarray(q, np.uint8)
+    t8 = np.ascontiguousarray(t, np.uint8)
+    dirs = np.zeros((max(len(q8), 1), band), np.uint8)
+    score = int(lib.affine_banded_align(
+        q8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q8),
+        t8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t8),
+        d_lo, band, match, mismatch, gap_open, gap_extend,
+        dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))))
+    return score, dirs
 
 
 def banded_edit_distance(a: np.ndarray, b: np.ndarray, band: int):

@@ -95,4 +95,82 @@ int64_t banded_edit_distance(
     return out;
 }
 
+// Banded affine-gap DP with direction bits -- the host fast path for small
+// gap-fill alignments inside seed-chain-extend (the ksw2 role in minimap2 /
+// hifiasm, reference ksw2_extz2_sse.c).  Semantics are bit-identical to the
+// JAX kernel ops/align.py::banded_align_batch (same band-by-diagonal layout,
+// same cummax E formulation and tie-breaking), so the caller reuses the same
+// traceback.  Large alignments stay on the TPU kernel; this exists because a
+// ~100-cell-row DP is latency-bound on a remote device link, not FLOP-bound.
+//
+// dirs is (qn x band) uint8, row i-1 holds DP row i.  Returns the global
+// alignment score H[qn][tn] (NEG if the endpoint falls outside the band).
+int64_t affine_banded_align(
+    const uint8_t* q, int64_t qn,
+    const uint8_t* t, int64_t tn,
+    int64_t d_lo, int64_t band,
+    int64_t match, int64_t mismatch, int64_t gap_open, int64_t gap_extend,
+    uint8_t* dirs)
+{
+    const int64_t NEG = -(INT64_C(1) << 28);
+    const int64_t W = band;
+    const uint8_t DIR_E_EXT = 0b100, DIR_F_EXT = 0b1000;
+    int64_t* h_prev = new int64_t[W];
+    int64_t* f_prev = new int64_t[W];
+    int64_t* h_cur = new int64_t[W];
+    int64_t* f_cur = new int64_t[W];
+    for (int64_t k = 0; k < W; ++k) {
+        const int64_t j0 = d_lo + k;
+        int64_t h0;
+        if (j0 == 0) h0 = 0;
+        else if (j0 > 0) h0 = gap_open + gap_extend * (j0 - 1);
+        else h0 = NEG;
+        if (j0 < 0 || j0 > tn) h0 = NEG;
+        h_prev[k] = h0;
+        f_prev[k] = NEG;
+    }
+    for (int64_t i = 1; i <= qn; ++i) {
+        const uint8_t qc = q[i - 1];
+        // running cummax of (g[k'] - ext*k') over k' < k, and g[k-1]
+        int64_t a_run = NEG, g_left = NEG;
+        uint8_t* drow = dirs + (i - 1) * W;
+        for (int64_t k = 0; k < W; ++k) {
+            const int64_t j = i + d_lo + k;
+            const bool jv = (j >= 1) && (j <= tn);
+            const bool jz = (j == 0);
+            const uint8_t tc = (j >= 1 && j <= tn) ? t[j - 1] : 255;
+            const int64_t sub = (qc == tc && qc < 4) ? match : mismatch;
+            const int64_t diag = h_prev[k] + sub;
+            const int64_t h_up = (k + 1 < W) ? h_prev[k + 1] : NEG;
+            const int64_t f_up = (k + 1 < W) ? f_prev[k + 1] : NEG;
+            const int64_t f_open = h_up + gap_open;
+            const int64_t f_ext = f_up + gap_extend;
+            const int64_t f = std::max(f_open, f_ext);
+            const int64_t g = std::max(diag, f);
+            const int64_t a_shift = a_run;                 // a[k-1]
+            const int64_t e = a_shift + (gap_open - gap_extend)
+                              + gap_extend * k;
+            int64_t h = std::max(g, e);
+            uint8_t d = (h == diag) ? 0 : ((h == e) ? 1 : 2);
+            if (f_ext >= f_open) d |= DIR_F_EXT;
+            // E-extension bit: cummax at k-1 came from strictly before k-1
+            if (a_shift > g_left - gap_extend * (k - 1)) d |= DIR_E_EXT;
+            const uint8_t dz = 2 | ((f_ext >= f_open) ? DIR_F_EXT : 0);
+            if (jv) { drow[k] = d; }
+            else if (jz) { drow[k] = dz; h = f; }
+            else { drow[k] = 0; h = NEG; }
+            h_cur[k] = h;
+            f_cur[k] = (jv || jz) ? f : NEG;
+            a_run = std::max(a_run, g - gap_extend * k);
+            g_left = g;
+        }
+        std::swap(h_prev, h_cur);
+        std::swap(f_prev, f_cur);
+    }
+    const int64_t k_end = tn - qn - d_lo;
+    const int64_t score = (k_end >= 0 && k_end < W) ? h_prev[k_end] : NEG;
+    delete[] h_prev; delete[] f_prev; delete[] h_cur; delete[] f_cur;
+    return score;
+}
+
 }  // extern "C"

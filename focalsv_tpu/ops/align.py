@@ -35,6 +35,10 @@ from focalsv_tpu.io import bam as bamio
 
 NEG = -(1 << 28)
 
+# banded DPs up to this many cells run in the native host kernel (dispatch
+# latency to a -- possibly remote -- device exceeds the compute below this)
+NATIVE_DP_MAX_CELLS = 1 << 24
+
 # direction-bit layout
 DIR_H_MASK = 0b11    # 0=diag, 1=E (target gap / D), 2=F (query gap / I), 3=start
 DIR_E_EXT = 0b100    # E came from E (gap extension)
@@ -390,6 +394,18 @@ def banded_align_pair(q, t, band=256, match=2, mismatch=-4, gap_open=-4,
                                     gap_open, gap_extend, d_lo)
         cig = traceback(np.asarray(dirs), len(q), len(t), d_lo)
         return score, cig
+    # host fast path: small DPs are latency-bound on a device round-trip
+    # (remote-TPU dispatch ~10s of ms), not FLOP-bound -- run them in the
+    # native C++ kernel (bit-identical band semantics), exactly the role
+    # ksw2 plays inside minimap2.  Large DPs stay on the TPU kernel.
+    if len(q) * band <= NATIVE_DP_MAX_CELLS:
+        from focalsv_tpu import native
+        res = native.affine_banded_align(q, t, d_lo, band, match, mismatch,
+                                         gap_open, gap_extend)
+        if res is not None:
+            score, dirs = res
+            cig = traceback(dirs, len(q), len(t), d_lo)
+            return score, cig
     qp, tp = _pad_bucket(q), _pad_bucket(t)
     scores, dirs = banded_align(
         qp[None], np.array([len(q)], np.int32),

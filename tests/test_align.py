@@ -121,3 +121,34 @@ def test_edit_similarity():
     x = rng.integers(0, 4, 100).astype(np.uint8)
     y = rng.integers(0, 4, 100).astype(np.uint8)
     assert align.edit_similarity(x, y) < 0.8
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_native_dp_bit_identical_to_jax_kernel(seed):
+    """The C++ host fast path must reproduce the JAX banded kernel exactly:
+    same score, same direction bits, same traceback CIGAR."""
+    from focalsv_tpu import native
+
+    rng = np.random.default_rng(100 + seed)
+    lq = int(rng.integers(20, 200))
+    lt = int(rng.integers(20, 200))
+    q = rng.integers(0, 4, lq).astype(np.uint8)
+    t = rng.integers(0, 4, lt).astype(np.uint8)
+    band = 64
+    if abs(lt - lq) + 8 > band:
+        band = align.band_bucket(abs(lt - lq) + 32, lo=band)
+    d_lo = int(np.clip((lt - lq) // 2 - band // 2, lt - lq - band + 1, 0))
+
+    res = native.affine_banded_align(q, t, d_lo, band, 2, -4, -4, -2)
+    if res is None:
+        pytest.skip("native library unavailable")
+    n_score, n_dirs = res
+
+    j_score, j_dirs = align.banded_align_batch(
+        align._pad_bucket(q)[None], np.array([lq], np.int32),
+        align._pad_bucket(t)[None], np.array([lt], np.int32),
+        np.array([d_lo], np.int32), band=band)
+    assert n_score == int(j_score[0])
+    np.testing.assert_array_equal(n_dirs, np.asarray(j_dirs[0])[:lq])
+    assert align.traceback(n_dirs, lq, lt, d_lo) == align.traceback(
+        np.asarray(j_dirs[0]), lq, lt, d_lo)
