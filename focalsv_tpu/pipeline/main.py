@@ -117,6 +117,7 @@ def process_chromosome(
         logger.warning("chromosome %s not in reference; skipping", chrom)
         return res
     candidates: list[VcfRecord] = []
+    failures: list[str] = []  # list.append is atomic under the GIL
 
     def one(region: Region) -> RegionResult | None:
         start = max(0, region.start)
@@ -133,6 +134,7 @@ def process_chromosome(
             # of the chromosome continues (reference main.run_command
             # swallow-and-continue semantics, main.py:10-17)
             logger.exception("region %s failed; skipping", region.name())
+            failures.append(region.name())
             return None
         if out_dir:
             rdir = os.path.join(out_dir, "regions", region.name())
@@ -146,6 +148,13 @@ def process_chromosome(
             results = list(ex.map(one, regions))
     else:
         results = [one(r) for r in regions]
+    # per-region isolation must not mask a systemic fault (e.g. the device
+    # backend failing to initialize): every attempted region failing means
+    # an empty VCF would silently look like "no SVs" -- fail loudly instead
+    if failures and not any(r is not None for r in results):
+        raise RuntimeError(
+            f"{chrom}: all {len(failures)} regions failed "
+            f"(first: {failures[0]}); see log for tracebacks")
     for rres in results:
         if rres is None:
             continue

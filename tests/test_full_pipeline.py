@@ -98,3 +98,18 @@ def test_single_region_mode(genome, tmp_path):
     _, records = read_vcf(os.path.join(out_dir, "FocalSV_Final_SV.vcf"))
     ins = [r for r in records if r.info.get("SVTYPE") == "INS"]
     assert any(abs(r.pos - 45_000) < 100 for r in ins)
+
+
+def test_all_regions_failing_raises(genome, tmp_path, monkeypatch):
+    """A systemic fault (every region throwing, e.g. device init failure)
+    must fail loudly, not emit an empty 'no SVs' VCF."""
+    from focalsv_tpu.pipeline import main as pipeline_main
+
+    def boom(*a, **kw):
+        raise RuntimeError("device init failed")
+
+    monkeypatch.setattr(pipeline_main, "process_region", boom)
+    with pytest.raises(RuntimeError, match="all .* regions failed"):
+        pipeline_main.run_target_mode(
+            genome["bam"], genome["ref"], str(tmp_path / "out"),
+            preset("HIFI"), target_bed=genome["bed"], num_workers=2)
