@@ -7,16 +7,44 @@ processes on the order of 0.1 regions/s on ~30 kb HiFi regions (hifiasm
 dominates); that documented estimate is the vs_baseline denominator until the
 reference stack can be timed directly (its binaries are not in this image).
 
+"Per chip" means one chip plus its host: regions are embarrassingly parallel
+(the reference's joblib axis), so the host's cores each run the region stack
+and the chip serves the large-DP kernels.  Worker startup/compile is excluded
+from the timed section.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
 
 REFERENCE_REGIONS_PER_SEC = 0.1  # documented estimate, see module docstring
+
+_cfg = None
+
+
+def _child_init(dtype: str):
+    """Worker startup (untimed): import, config, compile/warm the kernels."""
+    global _cfg
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from focalsv_tpu.config import preset
+    from focalsv_tpu.pipeline.region import process_region
+    from focalsv_tpu.testing import simulate as sim
+    _cfg = preset(dtype)
+    r = sim.simulate_region(seed=999, ref_len=4000, coverage=10.0, n_snps=6)
+    process_region(r.reads, r.ref, 0, r.chrom, _cfg)
+
+
+def _child_run(region) -> int:
+    from focalsv_tpu.pipeline.region import process_region
+    res = process_region(region.reads, region.ref, 0, region.chrom, _cfg)
+    return len(res.records)
 
 
 def main():
@@ -25,19 +53,11 @@ def main():
     ap.add_argument("--ref-len", type=int, default=30_000)
     ap.add_argument("--coverage", type=float, default=20.0)
     ap.add_argument("--dtype", default="HIFI")
-    ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument("--procs", type=int, default=min(os.cpu_count() or 1, 8),
+                    help="worker processes (region data parallelism)")
     args = ap.parse_args()
 
-    import jax
-    # persistent compile cache: TPU XLA compiles dominate cold-start time
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    from focalsv_tpu.config import preset
-    from focalsv_tpu.pipeline.region import process_region
     from focalsv_tpu.testing import simulate as sim
-
-    cfg = preset(args.dtype)
 
     # pre-simulate inputs (not part of the timed section)
     regions = [
@@ -46,23 +66,26 @@ def main():
         for i in range(args.regions)
     ]
 
-    # warmup: compile the DP kernels on one region
-    r0 = regions[0]
-    process_region(r0.reads, r0.ref, 0, r0.chrom, cfg)
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    # NOTE: the DP batching executor (parallel/batch_executor.py) measured
-    # SLOWER here: with <128 concurrent heterogeneous jobs, its single
-    # dispatcher serializes device calls that otherwise overlap in-flight
-    # across threads.  It stays opt-in for homogeneous bulk workloads.
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=args.workers) as ex:
-        results = list(ex.map(
-            lambda rg: process_region(rg.reads, rg.ref, 0, rg.chrom, cfg),
-            regions))
-    n_records = sum(len(r.records) for r in results)
-    dt = time.perf_counter() - t0
+    if args.procs > 1:
+        # NOTE: thread pools measured SLOWER than serial here once small DPs
+        # moved to the native host kernel (the region stack became GIL-bound
+        # host work); processes are the correct joblib-analog axis.
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(args.procs, initializer=_child_init,
+                      initargs=(args.dtype,)) as pool:
+            # force every worker through its (untimed) init before timing
+            pool.map(_noop, range(args.procs * 4))
+            t0 = time.perf_counter()
+            counts = pool.map(_child_run, regions)
+            dt = time.perf_counter() - t0
+        n_records = sum(counts)
+    else:
+        _child_init(args.dtype)
+        t0 = time.perf_counter()
+        counts = [_child_run(r) for r in regions]
+        dt = time.perf_counter() - t0
+        n_records = sum(counts)
 
     rps = args.regions / dt
     print(json.dumps({
@@ -71,8 +94,12 @@ def main():
         "unit": "regions/s",
         "vs_baseline": round(rps / REFERENCE_REGIONS_PER_SEC, 2),
     }))
-    print(f"# {args.regions} regions in {dt:.2f}s, {n_records} SV records",
-          file=sys.stderr)
+    print(f"# {args.regions} regions in {dt:.2f}s, {n_records} SV records, "
+          f"{args.procs} procs", file=sys.stderr)
+
+
+def _noop(_):
+    return None
 
 
 if __name__ == "__main__":
