@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -113,3 +115,33 @@ def test_detect_regions_end_to_end():
     # INS-only cluster present (min_sig=1 for HIFI)
     assert any(r.start <= 500_000 <= r.end for r in chr1)
     assert any(r.start <= 900_000 <= r.end for r in chr1)
+
+
+GOLDEN_BED = "/root/reference/test/SV_Regions_HG002_HIFI_L1_FocalSV-auto.bed"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_BED),
+                    reason="reference golden BED not present")
+def test_golden_step0_bed_invariants():
+    """The reference ships its step-0 output for HG002 HiFi L1 verbatim
+    (SURVEY.md par.4: 26,834 regions).  Validate our detect math against it:
+    the file must be a fixed point of recluster_regions at the HIFI re_dt
+    (the reference's final merge guarantees inter-region gaps >= re_dt), and
+    its minimum span must equal 2x the HIFI flank parameter.
+    """
+    from focalsv_tpu.config import preset
+    from focalsv_tpu.io.bed import read_bed, split_by_chrom
+    from focalsv_tpu.regions.detect import recluster_regions
+
+    regs = read_bed(GOLDEN_BED)
+    assert len(regs) == 26834
+    assert all(r.start < r.end for r in regs)
+    cfg = preset("HIFI").detect
+    spans = np.array([r.span for r in regs])
+    assert spans.min() == 2 * cfg.flank
+    for chrom, rs in split_by_chrom(regs).items():
+        arr = np.array([[r.start, r.end] for r in rs], np.int64)
+        rc = recluster_regions(arr, cfg.re_dt)
+        assert rc.shape[0] == arr.shape[0], (
+            f"{chrom}: golden regions merged further at re_dt={cfg.re_dt}")
+        np.testing.assert_array_equal(np.sort(rc, axis=0), np.sort(arr, axis=0))
