@@ -123,8 +123,14 @@ def consensus_contig(
     ins_clusters = _cluster_insertions(inss)
     # insertion decision per cluster
     ins_at: dict[int, np.ndarray] = {}
+    valid = mat != NOCOV
     for pos, seqs in ins_clusters:
-        local_cov = max(int(cov[min(pos, region_len - 1)]), 1)
+        # denominator = reads that SPAN the site: a read clipped at the
+        # insertion (enters or leaves inside the inserted sequence) cannot
+        # express the I op, so raw column coverage under-votes large INS
+        lo = max(0, pos - 30)
+        hi = min(region_len - 1, pos + 30)
+        local_cov = max(int((valid[:, lo] & valid[:, hi]).sum()), 1)
         # only count sizeable inserts toward SV-grade insertion consensus;
         # small ones still pass when high-frequency (sequencing indels vote)
         n = len(seqs)

@@ -72,3 +72,26 @@ def test_region_end_to_end_many_svs():
         f"recall {bench.recall} calls="
         f"{[(r.info['SVTYPE'], r.pos, r.info['SVLEN'], r.gt) for r in res.records]}")
     assert bench.precision >= 0.8
+
+
+def test_ont_large_het_ins_with_clipped_reads():
+    """A ~1.9 kb het INS under the ONT error model: many reads are clipped
+    inside the inserted sequence, so the insertion vote must use spanning
+    reads as its denominator (raw column coverage under-votes large INS)."""
+    rng = np.random.default_rng(4023)
+    svs = [
+        sim.SimSV("INS", 6_976, 1_916, "0/1",
+                  seq=rng.integers(0, 4, 1_916).astype(np.uint8)),
+        sim.SimSV("DEL", 19_805, 281, "0/1"),
+    ]
+    region = sim.simulate_region(seed=4023, ref_len=30_000, n_snps=25,
+                                 svs=svs, coverage=28, sub_rate=0.04,
+                                 ins_rate=0.02, del_rate=0.02)
+    cfg = preset(DataType.ONT)
+    res = process_region(region.reads, region.ref, 0, region.chrom, cfg)
+    truth = truth_from_sim(region.svs, region.chrom, region.ref)
+    bench = match_records(res.records, truth, check_seq=False)
+    assert bench.recall == 1.0, (
+        f"recall {bench.recall}; calls="
+        f"{[(r.info['SVTYPE'], r.pos, r.info['SVLEN'], r.gt) for r in res.records]}")
+    assert bench.gt_concordance == 1.0
