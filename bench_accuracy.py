@@ -26,7 +26,7 @@ ERR_MODELS = {
 _state = {}
 
 
-def _make_case(seed: int, ref_len: int, err: dict):
+def _make_case(seed: int, ref_len: int, err: dict, max_svlen: int = 2000):
     import numpy as np
     from focalsv_tpu.testing import simulate as sim
 
@@ -37,7 +37,7 @@ def _make_case(seed: int, ref_len: int, err: dict):
     span = (ref_len - 12_000) // n_sv
     for i in range(n_sv):
         pos = int(rng.integers(lo + i * span, lo + i * span + span - 3_000))
-        length = int(np.exp(rng.uniform(np.log(50), np.log(2000))))
+        length = int(np.exp(rng.uniform(np.log(50), np.log(max_svlen))))
         svtype = "DEL" if rng.random() < 0.5 else "INS"
         gt = "0/1" if rng.random() < 0.5 else "1/1"
         seq = rng.integers(0, 4, length).astype(np.uint8) if svtype == "INS" else None
@@ -55,11 +55,11 @@ def _child_init(dtype: str):
 
 
 def _child_run(args):
-    seed, ref_len, err = args
+    seed, ref_len, err, max_svlen = args
     from focalsv_tpu.evaluation.compare import match_records, truth_from_sim
     from focalsv_tpu.pipeline.region import process_region
 
-    region = _make_case(seed, ref_len, err)
+    region = _make_case(seed, ref_len, err, max_svlen)
     res = process_region(region.reads, region.ref, 0, region.chrom,
                          _state["cfg"])
     truth = truth_from_sim(region.svs, region.chrom, region.ref)
@@ -72,6 +72,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--regions", type=int, default=60)
     ap.add_argument("--ref-len", type=int, default=30_000)
+    ap.add_argument("--max-svlen", type=int, default=2000)
+    ap.add_argument("--coverage", type=float, default=None)
     ap.add_argument("--dtypes", default="HIFI,CLR,ONT")
     ap.add_argument("--procs", type=int, default=2)
     args = ap.parse_args()
@@ -80,7 +82,9 @@ def main():
     ctx = mp.get_context("spawn")
     for dtype in args.dtypes.split(","):
         err = dict(ERR_MODELS[dtype])
-        jobs = [(4000 + i, args.ref_len, err) for i in range(args.regions)]
+        if args.coverage is not None:
+            err["coverage"] = args.coverage
+        jobs = [(4000 + i, args.ref_len, err, args.max_svlen) for i in range(args.regions)]
         if args.procs > 1:
             with ctx.Pool(args.procs, initializer=_child_init,
                           initargs=(dtype,)) as pool:
