@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from focalsv_tpu import native
 from focalsv_tpu.config import AlignConfig
 from focalsv_tpu.io import bam as bamio
 from focalsv_tpu.ops import align as alignops
@@ -156,12 +157,15 @@ class Aligner:
         qs = q_rc if ch.rel_strand else q
         anchors = ch.anchors
         # keep spaced anchors (both deltas >= k) so M(k) blocks never overlap
-        spaced = [0]
-        for i in range(1, anchors.shape[0]):
-            prev = anchors[spaced[-1]]
-            if anchors[i, 0] - prev[0] >= k and anchors[i, 1] - prev[1] >= k:
-                spaced.append(i)
-        a = anchors[spaced]
+        idx = native.space_anchors(anchors[:, 0], anchors[:, 1], k)
+        if idx is None:
+            spaced = [0]
+            for i in range(1, anchors.shape[0]):
+                prev = anchors[spaced[-1]]
+                if anchors[i, 0] - prev[0] >= k and anchors[i, 1] - prev[1] >= k:
+                    spaced.append(i)
+            idx = np.asarray(spaced)
+        a = anchors[idx]
         ops: list[tuple[int, int]] = []
         t0, q0 = int(a[0, 0]), int(a[0, 1])
         # prefix: align (up to flank_extend bases of) the query prefix into a
@@ -188,39 +192,37 @@ class Aligner:
         if clip0 > 0:
             ops = [(bamio.CSOFT_CLIP, clip0)] + ops
         # walk anchor gaps with an accumulated M run: the overwhelming
-        # majority are colinear (dq == dt) or pure indels, so the banded DP
-        # only fires for irregular gaps (hot path: no per-anchor call)
+        # majority are colinear (dq == dt) or pure indels, so the loop only
+        # visits irregular gaps; the M runs between them come from a prefix
+        # sum (hot path: no per-anchor Python iteration)
         dts = np.diff(a[:, 0]) - k
         dqs = np.diff(a[:, 1]) - k
-        cur_m = k
+        regular = (dqs == dts) & (dqs <= 32)
+        # csum[g] = total M contributed by gaps [0, g) if all were regular
+        csum = np.concatenate([[0], np.cumsum(dqs + k)])
 
-        def flush():
-            nonlocal cur_m
-            if cur_m > 0:
+        def emit_m(length: int):
+            if length > 0:
                 if ops and ops[-1][0] == bamio.CMATCH:
-                    ops[-1] = (bamio.CMATCH, ops[-1][1] + cur_m)
+                    ops[-1] = (bamio.CMATCH, ops[-1][1] + length)
                 else:
-                    ops.append((bamio.CMATCH, cur_m))
-            cur_m = 0
+                    ops.append((bamio.CMATCH, length))
 
-        for i in range(1, a.shape[0]):
-            dt_, dq_ = int(dts[i - 1]), int(dqs[i - 1])
-            if dq_ == dt_ and dq_ <= 32:
-                cur_m += dq_ + k
-                continue
+        run_start = 0     # first gap index of the current regular stretch
+        for g in np.flatnonzero(~regular):
+            g = int(g)
+            emit_m(k + int(csum[g] - csum[run_start]))
+            dt_, dq_ = int(dts[g]), int(dqs[g])
             if dq_ == 0:
-                flush()
                 ops.append((bamio.CDEL, dt_))
             elif dt_ == 0:
-                flush()
                 ops.append((bamio.CINS, dq_))
             else:
-                flush()
-                tp, qp = int(a[i - 1, 0]) + k, int(a[i - 1, 1]) + k
-                tn, qn = int(a[i, 0]), int(a[i, 1])
+                tp, qp = int(a[g, 0]) + k, int(a[g, 1]) + k
+                tn, qn = int(a[g + 1, 0]), int(a[g + 1, 1])
                 ops.extend(self._gap_cigar(qs[qp:qn], self.target[tp:tn]))
-            cur_m = k
-        flush()
+            run_start = g + 1
+        emit_m(k + int(csum[len(dqs)] - csum[run_start]))
         # suffix
         q_last = int(a[-1, 1]) + k
         t_last = int(a[-1, 0]) + k

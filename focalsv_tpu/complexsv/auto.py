@@ -18,6 +18,7 @@ import numpy as np
 
 from focalsv_tpu.io import bam as bamio
 from focalsv_tpu.io.vcf import VcfRecord
+from focalsv_tpu.signatures import contig as contig_sigs
 
 # per-dtype knobs (Auto/define_region.py:691-707, process_dup.py:55-60)
 AUTO_PARAMS = {
@@ -58,8 +59,7 @@ def segment_from_record(rec: bamio.BamRecord, chrom: str) -> Segment | None:
     ops, lens = cig[:, 0], cig[:, 1]
     qa_start = int(lens[0]) if ops[0] in (bamio.CSOFT_CLIP, bamio.CHARD_CLIP) else 0
     tail = int(lens[-1]) if ops[-1] in (bamio.CSOFT_CLIP, bamio.CHARD_CLIP) else 0
-    read_len = int(lens[np.isin(ops, (bamio.CMATCH, bamio.CINS, bamio.CSOFT_CLIP,
-                                      bamio.CHARD_CLIP, bamio.CEQUAL, bamio.CDIFF))].sum())
+    read_len = int(lens[contig_sigs._FULL_QUERY_OPS[ops]].sum())
     qa_end = read_len - tail
     if rec.is_reverse:
         rs_fwd, re_fwd = read_len - qa_end, read_len - qa_start

@@ -90,6 +90,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ]
         try:  # absent in a stale prebuilt library: callers fall back
+            lib.space_anchors.restype = ctypes.c_int64
+            lib.space_anchors.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+        except AttributeError:
+            pass
+        try:  # absent in a stale prebuilt library: callers fall back
             lib.affine_banded_align.restype = ctypes.c_int64
             lib.affine_banded_align.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -124,6 +133,22 @@ def chain_dp(t: np.ndarray, q: np.ndarray, k: int, max_pred: int,
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         pred.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return f, pred
+
+
+def space_anchors(t: np.ndarray, q: np.ndarray, k: int):
+    """Indices of greedily k-spaced anchors, or None if no lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "space_anchors"):
+        return None
+    n = t.shape[0]
+    t64 = np.ascontiguousarray(t, np.int64)
+    q64 = np.ascontiguousarray(q, np.int64)
+    out = np.empty(n, np.int64)
+    m = lib.space_anchors(
+        t64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        q64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, k, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out[:m]
 
 
 def affine_banded_align(q: np.ndarray, t: np.ndarray, d_lo: int, band: int,

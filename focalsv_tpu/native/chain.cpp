@@ -48,6 +48,29 @@ void chain_dp(
     }
 }
 
+// Greedy anchor spacing for chain->CIGAR conversion: keep anchors whose
+// (t, q) deltas from the last kept anchor are both >= k, so the k-length
+// M blocks the CIGAR walk emits never overlap.  Returns the number kept;
+// out_idx receives their indices.  (Sequential recurrence -- cheap in C,
+// a hot per-anchor Python loop otherwise.)
+int64_t space_anchors(
+    const int64_t* t, const int64_t* q, int64_t n, int64_t k,
+    int64_t* out_idx)
+{
+    if (n <= 0) return 0;
+    int64_t m = 0;
+    out_idx[m++] = 0;
+    int64_t lt = t[0], lq = q[0];
+    for (int64_t i = 1; i < n; ++i) {
+        if (t[i] - lt >= k && q[i] - lq >= k) {
+            out_idx[m++] = i;
+            lt = t[i];
+            lq = q[i];
+        }
+    }
+    return m;
+}
+
 // Banded affine-gap DP, score-only, unit or affine costs -- used for host
 // fallback paths (edit similarity on tiny sequences) when batching to the
 // device is not worth the dispatch latency.

@@ -207,8 +207,9 @@ def _chain_one_strand(sub, k, max_pred, max_gap, min_score, min_anchors,
     used = np.zeros(n, bool)
     chains = []
     kept_spans: list[tuple[float, float]] = []
-    for i in np.argsort(-f):
-        if used[i] or f[i] < min_score:
+    cand = np.flatnonzero(f >= min_score)    # seeds below min_score never win
+    for i in cand[np.argsort(-f[cand])]:
+        if used[i]:
             continue
         path = []
         jcur = i

@@ -62,17 +62,22 @@ def find_het_sites(
     for b in range(4):
         counts[:, b] = (mat == b).sum(axis=0)
     depth = counts.sum(axis=1)
-    order = np.argsort(-counts, axis=1, kind="stable")
-    top = np.take_along_axis(counts, order, axis=1)
-    a0 = order[:, 0].astype(np.uint8)
-    a1 = order[:, 1].astype(np.uint8)
+    # top-2 bases per column via two argmax passes (ties -> lower base code,
+    # matching a stable descending sort)
+    a0 = counts.argmax(axis=1)
+    masked = counts.copy()
+    np.put_along_axis(masked, a0[:, None], -1, axis=1)
+    a1 = masked.argmax(axis=1)
+    top1 = np.take_along_axis(masked, a1[:, None], axis=1)[:, 0]
+    a0 = a0.astype(np.uint8)
+    a1 = a1.astype(np.uint8)
     with np.errstate(divide="ignore", invalid="ignore"):
-        frac1 = np.where(depth > 0, top[:, 1] / np.maximum(depth, 1), 0.0)
+        frac1 = np.where(depth > 0, top1 / np.maximum(depth, 1), 0.0)
     is_het = (
         (depth >= cfg.min_site_depth)
         & (frac1 >= cfg.min_allele_frac)
         & (frac1 <= cfg.max_allele_frac)
-        & (top[:, 1] >= 2)
+        & (top1 >= 2)
     )
     pos = np.nonzero(is_het)[0]
     return HetSites(positions=pos, allele0=a0[pos], allele1=a1[pos])

@@ -29,6 +29,10 @@ from focalsv_tpu.signatures.sigs import (
 # CIGAR walk (vectorized)
 # ---------------------------------------------------------------------------
 
+# query-consuming ops plus hard clip: full-contig-space offsets (CCS :24-46)
+_FULL_QUERY_OPS = bamio.CONSUMES_QUERY.copy()
+_FULL_QUERY_OPS[bamio.CHARD_CLIP] = True
+
 
 def cigar_stats(cigar: np.ndarray) -> tuple[float, float]:
     """(ins_pct, avg match-run length) -- CLR noise gates (CLR :12-31)."""
@@ -55,8 +59,7 @@ def sigs_from_cigar(
     ops, lens = cigar[:, 0].astype(np.int64), cigar[:, 1].astype(np.int64)
     ref_c = np.where(bamio.CONSUMES_REF[ops], lens, 0)
     # contig offset counts M, I, S (soft clip) plus leading hard clip
-    q_c = np.where(np.isin(ops, (bamio.CMATCH, bamio.CINS, bamio.CSOFT_CLIP,
-                                 bamio.CEQUAL, bamio.CDIFF)), lens, 0)
+    q_c = np.where(bamio.CONSUMES_QUERY[ops], lens, 0)
     ref_off = ref_start + np.concatenate([[0], np.cumsum(ref_c)[:-1]])
     q_off = np.concatenate([[0], np.cumsum(q_c)[:-1]])
     hard_head = int(lens[0]) if ops[0] == bamio.CHARD_CLIP else 0
@@ -183,8 +186,7 @@ def _aln_geometry(cigar: np.ndarray, ref_start: int, mapq: int, strand: int,
                   contig: int) -> dict:
     """Geometry dict for split-pair analysis from one alignment."""
     ops, lens = cigar[:, 0], cigar[:, 1]
-    rl = int(lens[np.isin(ops, (bamio.CMATCH, bamio.CINS, bamio.CSOFT_CLIP,
-                                bamio.CHARD_CLIP, bamio.CEQUAL, bamio.CDIFF))].sum())
+    rl = int(lens[_FULL_QUERY_OPS[ops]].sum())
     clip_head = int(ops[0]) in (bamio.CSOFT_CLIP, bamio.CHARD_CLIP)
     clip_tail = int(ops[-1]) in (bamio.CSOFT_CLIP, bamio.CHARD_CLIP)
     read_start = int(lens[0]) if clip_head else 0
