@@ -9,8 +9,10 @@ reference stack can be timed directly (its binaries are not in this image).
 
 "Per chip" means one chip plus its host: regions are embarrassingly parallel
 (the reference's joblib axis), so the host's cores each run the region stack
-and the chip serves the large-DP kernels.  Worker startup/compile is excluded
-from the timed section.
+and the chip serves the large-DP kernels.  Worker startup/compile and input
+simulation are excluded from the timed section; reading each region's BAM
+from disk is *included* (the reference's per-region stack also starts from a
+cropped region BAM, 2_phasing/longshot.py:20).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 
@@ -41,9 +44,15 @@ def _child_init(dtype: str):
     process_region(r.reads, r.ref, 0, r.chrom, _cfg)
 
 
-def _child_run(region) -> int:
+def _child_run(job) -> int:
+    """One region, from its on-disk BAM + ref (the real pipeline data path)."""
+    import numpy as np
+    from focalsv_tpu.io.bam import BamReader
     from focalsv_tpu.pipeline.region import process_region
-    res = process_region(region.reads, region.ref, 0, region.chrom, _cfg)
+    bam_path, ref_path, chrom = job
+    reads = list(BamReader(bam_path))
+    ref = np.load(ref_path)
+    res = process_region(reads, ref, 0, chrom, _cfg)
     return len(res.records)
 
 
@@ -57,14 +66,21 @@ def main():
                     help="worker processes (region data parallelism)")
     args = ap.parse_args()
 
+    import numpy as np
     from focalsv_tpu.testing import simulate as sim
 
-    # pre-simulate inputs (not part of the timed section)
-    regions = [
-        sim.simulate_region(seed=1000 + i, ref_len=args.ref_len,
-                            coverage=args.coverage, n_snps=25)
-        for i in range(args.regions)
-    ]
+    # pre-simulate inputs to disk (not part of the timed section): one
+    # region BAM + reference window per region, the crop-step layout
+    tmp = tempfile.mkdtemp(prefix="focalsv_bench_")
+    jobs = []
+    for i in range(args.regions):
+        r = sim.simulate_region(seed=1000 + i, ref_len=args.ref_len,
+                                coverage=args.coverage, n_snps=25)
+        bam = os.path.join(tmp, f"region_{i}.bam")
+        ref = os.path.join(tmp, f"region_{i}.ref.npy")
+        sim.write_region_bam(r, bam)
+        np.save(ref, r.ref)
+        jobs.append((bam, ref, r.chrom))
 
     if args.procs > 1:
         # NOTE: thread pools measured SLOWER than serial here once small DPs
@@ -77,13 +93,13 @@ def main():
             # force every worker through its (untimed) init before timing
             pool.map(_noop, range(args.procs * 4))
             t0 = time.perf_counter()
-            counts = pool.map(_child_run, regions)
+            counts = pool.map(_child_run, jobs, chunksize=1)
             dt = time.perf_counter() - t0
         n_records = sum(counts)
     else:
         _child_init(args.dtype)
         t0 = time.perf_counter()
-        counts = [_child_run(r) for r in regions]
+        counts = [_child_run(j) for j in jobs]
         dt = time.perf_counter() - t0
         n_records = sum(counts)
 
