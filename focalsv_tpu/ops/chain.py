@@ -81,13 +81,16 @@ def chain_anchors(
                                        rel_strand=c.rel_strand))
     chains = _join_colinear(split, k, q_len)
     chains.sort(key=lambda c: -c.score)
-    # primary/secondary masking: drop chains whose query span is mostly covered
+    # primary/secondary masking: drop chains whose query span is mostly
+    # covered.  Spans must be compared in ORIGINAL query coordinates --
+    # rel=1 chains store flipped coordinates, and comparing across strands
+    # in mixed spaces masked the inverted interior of INV-crossing reads.
     kept: list[Chain] = []
     for c in chains:
-        qs, qe = c.anchors[:, 1].min(), c.anchors[:, 1].max() + k
+        qs, qe = _q_span(c, k, q_len)
         ok = True
         for kc in kept:
-            ks_, ke_ = kc.anchors[:, 1].min(), kc.anchors[:, 1].max() + k
+            ks_, ke_ = _q_span(kc, k, q_len)
             olp = min(qe, ke_) - max(qs, ks_)
             if olp > mask_level * (qe - qs):
                 ok = False

@@ -107,3 +107,22 @@ def test_bam_record_conversion():
     assert rec.cigar_string() == "7000M"
     qlen = int(rec.cigar[bamio.CONSUMES_QUERY[rec.cigar[:, 0]], 1].sum())
     assert qlen == rec.query_length
+
+
+def test_split_alignment_inversion_asymmetric():
+    # Read crossing ONE breakpoint of an inversion: long forward flank + a
+    # shorter inverted tail.  The tail's flipped-coordinate query span
+    # overlaps the forward flank's original-coordinate span, so masking in
+    # mixed spaces used to drop the reverse chain (INV recall regression).
+    ref = _rand(40_000, 17)
+    q = np.concatenate([
+        ref[10_000:20_900],                 # 10.9 kb forward
+        enc.revcomp(ref[24_000:25_100]),    # 1.1 kb inverted tail
+    ])
+    alns = Aligner(ref).align(q, "q")
+    strands = {a.strand for a in alns}
+    assert strands == {0, 1}, (
+        f"expected both strands, got "
+        f"{[(a.strand, a.t_start, a.t_end, a.score) for a in alns]}")
+    rev = [a for a in alns if a.strand == 1][0]
+    assert 23_500 <= rev.t_start <= 24_500
