@@ -265,10 +265,16 @@ def traceback(
     return _runlength(ops)
 
 
+PALLAS_MAX_BAND = 2048   # band state is VMEM-resident: (W, 128) i32 x3 plus
+                         # the dirs chunk must fit the ~16 MB scoped limit
+
+
 def banded_align(q, q_len, t, t_len, d_lo, band=256, store_dirs=True, **scoring):
     """Backend-dispatching banded DP: the Pallas lane-batched kernel on TPU
-    (ops/align_pallas.py, ~10x the XLA scan version), lax.scan elsewhere."""
-    if store_dirs and band % 8 == 0 and jax.default_backend() not in ("cpu",):
+    (ops/align_pallas.py, ~10x the XLA scan version), lax.scan elsewhere
+    (and on TPU for bands too wide for VMEM-resident state)."""
+    if (store_dirs and band % 8 == 0 and band <= PALLAS_MAX_BAND
+            and jax.default_backend() not in ("cpu",)):
         from focalsv_tpu.ops.align_pallas import banded_align_batch_pallas
         return banded_align_batch_pallas(q, q_len, t, t_len, d_lo,
                                          band=band, **scoring)

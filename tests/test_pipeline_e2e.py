@@ -95,3 +95,26 @@ def test_ont_large_het_ins_with_clipped_reads():
         f"recall {bench.recall}; calls="
         f"{[(r.info['SVTYPE'], r.pos, r.info['SVLEN'], r.gt) for r in res.records]}")
     assert bench.gt_concordance == 1.0
+
+
+@pytest.mark.parametrize("svtype,length,gt", [
+    ("INS", 5_000, "0/1"),
+    ("INS", 8_000, "1/1"),
+    ("DEL", 15_000, "0/1"),
+])
+def test_large_sv_recovery(svtype, length, gt):
+    # SVs needing DP bands wider than the Pallas VMEM cap (ops/align.py
+    # PALLAS_MAX_BAND) must route through the scan kernel and still call
+    # exactly (band-8192 dispatch used to OOM the TPU's scoped VMEM).
+    rng = np.random.default_rng(5)
+    seq = rng.integers(0, 4, length).astype(np.uint8) if svtype == "INS" else None
+    svs = [sim.SimSV(svtype, 25_000 if svtype == "INS" else 20_000,
+                     length, gt, seq=seq)]
+    r = sim.simulate_region(seed=55, ref_len=60_000, coverage=22, n_snps=40,
+                            svs=svs, sub_rate=0.002)
+    res = process_region(r.reads, r.ref, 0, r.chrom, preset("HIFI"))
+    assert len(res.records) == 1, [(x.pos, x.info) for x in res.records]
+    rec = res.records[0]
+    assert rec.info["SVTYPE"] == svtype
+    assert abs(abs(rec.info["SVLEN"]) - length) <= length * 0.01
+    assert rec.gt == gt
