@@ -80,6 +80,7 @@ class PhasingConfig:
     min_allele_frac: float = 0.25       # het site detection band
     max_allele_frac: float = 0.75
     min_site_depth: int = 4
+    min_minor_count: int = 2            # minor-allele read support at a site
     max_sites: int = 512                # padded SNV axis per region tile
     mec_iters: int = 30                 # iterated-flip MEC refinement rounds
     use_pairhmm: bool = False           # pair-HMM realignment at het sites
@@ -249,6 +250,9 @@ def preset(data_type: DataType | str) -> PipelineConfig:
         return PipelineConfig(
             data_type=DataType.CLR,
             detect=RegionDetectConfig(dt_fine=200, min_sig=5),
+            # ~12% read error: low-depth columns with 2 coincident errors
+            # pass the HiFi het band and randomize MEC -- demand real support
+            phasing=PhasingConfig(min_site_depth=10, min_minor_count=4),
             read_scan=ReadScanConfig(
                 max_cluster_bias_ins=100,
                 diff_ratio_merging_ins=0.3,
@@ -265,6 +269,7 @@ def preset(data_type: DataType | str) -> PipelineConfig:
         return PipelineConfig(
             data_type=DataType.ONT,
             detect=RegionDetectConfig(dt_fine=500, min_sig=5),
+            phasing=PhasingConfig(min_site_depth=8, min_minor_count=3),
             read_scan=ReadScanConfig(
                 max_cluster_bias_ins=100,
                 diff_ratio_merging_ins=0.3,

@@ -77,7 +77,7 @@ def find_het_sites(
         (depth >= cfg.min_site_depth)
         & (frac1 >= cfg.min_allele_frac)
         & (frac1 <= cfg.max_allele_frac)
-        & (top1 >= 2)
+        & (top1 >= cfg.min_minor_count)
     )
     pos = np.nonzero(is_het)[0]
     return HetSites(positions=pos, allele0=a0[pos], allele1=a1[pos])
@@ -89,6 +89,41 @@ def allele_matrix(mat: np.ndarray, sites: HetSites) -> np.ndarray:
     out = np.full(sub.shape, -1, np.int8)
     out[sub == sites.allele0[None, :]] = 0
     out[sub == sites.allele1[None, :]] = 1
+    return out
+
+
+def purify_sites(A: np.ndarray, window: int = 4, min_corr: float = 0.5,
+                 min_pairs: int = 4) -> np.ndarray:
+    """Mask allele-matrix columns that do not co-phase with any neighbor.
+
+    A true het site's alleles correlate strongly (|2*same/n - 1| near 1)
+    with nearby sites through the reads spanning both; an error-pileup site
+    correlates with nothing.  Such sites are worse than useless: one random
+    parity decision at a noise site flips the init chain for every site
+    after it, which the coordinate-wise MEC refinement cannot repair
+    (observed on CLR: 42 sites, 6 noise -> site phase at chance level).
+    Returns A with impure columns set to -1 (uncovered).
+    """
+    R, S = A.shape
+    if S < 2:
+        return A
+    cov = A >= 0
+    passed = np.zeros(S, bool)
+    for d in range(1, min(window, S - 1) + 1):
+        a, b = A[:, :-d], A[:, d:]
+        both = cov[:, :-d] & cov[:, d:]
+        n = both.sum(axis=0)
+        same = ((a == b) & both).sum(axis=0)
+        corr = np.abs(2 * same / np.maximum(n, 1) - 1.0)
+        # significance gate: under the null (unlinked alleles) corr is
+        # ~|2*Binom(n,1/2)/n - 1|, sd 1/sqrt(n) -- demand 3 sigma, so chance
+        # co-phasing on a handful of shared reads cannot rescue a noise site
+        thresh = np.maximum(min_corr, 3.0 / np.sqrt(np.maximum(n, 1)))
+        ok = (n >= min_pairs) & (corr >= thresh)
+        passed[:-d] |= ok
+        passed[d:] |= ok
+    out = A.copy()
+    out[:, ~passed] = -1
     return out
 
 
@@ -188,6 +223,13 @@ def phase_region(
         A = realign_allele_matrix(reads, sites, ref_codes, region_start)
     else:
         A = allele_matrix(mat, sites)
+    # drop error-pileup sites that co-phase with nothing (see purify_sites);
+    # columns are removed (not masked) so real blocks stay contiguous
+    if A.shape[1] >= 2:
+        pure = (purify_sites(A) >= 0).any(axis=0)
+        A = A[:, pure]
+        sites = HetSites(sites.positions[pure], sites.allele0[pure],
+                         sites.allele1[pure])
     S = A.shape[1]
     if S == 0:
         return PhaseResult(np.zeros(R, np.int8), np.full(R, -1, np.int64),

@@ -118,3 +118,26 @@ def test_large_sv_recovery(svtype, length, gt):
     assert rec.info["SVTYPE"] == svtype
     assert abs(abs(rec.info["SVLEN"]) - length) <= length * 0.01
     assert rec.gt == gt
+
+
+@pytest.mark.parametrize("dtype,err,svtype,length", [
+    ("CLR", dict(sub_rate=0.06, ins_rate=0.03, del_rate=0.03), "DEL", 8_000),
+    ("CLR", dict(sub_rate=0.06, ins_rate=0.03, del_rate=0.03), "INS", 8_000),
+    ("ONT", dict(sub_rate=0.04, ins_rate=0.02, del_rate=0.02), "INS", 5_000),
+])
+def test_large_sv_noisy_dtypes(dtype, err, svtype, length):
+    # Noise-era regression: error-pileup columns inside the het-DEL zone
+    # used to pass the het test, randomize the MEC init chain's parity, and
+    # fragment the deletion into pieces (fixed by phase.purify_sites'
+    # 3-sigma co-phasing gate + per-dtype min_minor_count presets).
+    rng = np.random.default_rng(5)
+    seq = rng.integers(0, 4, length).astype(np.uint8) if svtype == "INS" else None
+    svs = [sim.SimSV(svtype, 25_000, length, "0/1", seq=seq)]
+    r = sim.simulate_region(seed=55, ref_len=60_000, coverage=25, n_snps=40,
+                            svs=svs, **err)
+    res = process_region(r.reads, r.ref, 0, r.chrom, preset(dtype))
+    assert len(res.records) == 1, [(x.pos, x.info) for x in res.records]
+    rec = res.records[0]
+    assert rec.info["SVTYPE"] == svtype
+    assert abs(abs(rec.info["SVLEN"]) - length) <= length * 0.02
+    assert rec.gt == "0/1"
