@@ -23,10 +23,25 @@ from focalsv_tpu.config import PhasingConfig
 from focalsv_tpu.io import bam as bamio
 
 
+# pileup symbol for the first column of a >= MIN_SV_MARK deletion: large
+# indels are perfect het markers where SNPs are absent (SNP deserts), so
+# they participate in site detection alongside substitutions
+DEL_MARK = 6
+MIN_SV_MARK = 30
+
+
 def pileup_matrix(
     reads: list[bamio.BamRecord], region_start: int, region_len: int,
+    mark_dels: bool = False, ins_events: list | None = None,
 ) -> np.ndarray:
-    """(n_reads, region_len) uint8 base-code matrix; 255 = not covered."""
+    """(n_reads, region_len) uint8 base-code matrix; 255 = not covered.
+
+    With ``mark_dels`` the first column of every >= MIN_SV_MARK bp deletion
+    is written as DEL_MARK (one marker per event -- error micro-dels stay
+    invisible, and an 8 kb DEL contributes one site, not 8000).  When
+    ``ins_events`` is a list, (read_idx, col, len) tuples are appended for
+    every >= MIN_SV_MARK bp insertion.
+    """
     mat = np.full((len(reads), region_len), 255, np.uint8)
     for ri, rec in enumerate(reads):
         rpos = rec.pos - region_start
@@ -39,9 +54,16 @@ def pileup_matrix(
                     mat[ri, rpos + a : rpos + b] = rec.seq[qpos + a : qpos + b]
                 rpos += ln
                 qpos += ln
-            elif op == bamio.CINS or op == bamio.CSOFT_CLIP:
+            elif op == bamio.CINS:
+                if (ins_events is not None and ln >= MIN_SV_MARK
+                        and 0 <= rpos < region_len):
+                    ins_events.append((ri, rpos, ln))
+                qpos += ln
+            elif op == bamio.CSOFT_CLIP:
                 qpos += ln
             elif op in (bamio.CDEL, bamio.CREF_SKIP):
+                if mark_dels and ln >= MIN_SV_MARK and 0 <= rpos < region_len:
+                    mat[ri, rpos] = DEL_MARK
                 rpos += ln
     return mat
 
