@@ -108,26 +108,20 @@ def _cluster_insertions(
     return out
 
 
-def consensus_contig(
-    reads: list[bamio.BamRecord], idxs: list[int],
-    region_start: int, region_len: int,
-    cfg: AssemblyConfig = AssemblyConfig(),
+def decide_insertions(
+    valid: np.ndarray,                       # (n, L) bool: read covers column
+    inss: list[tuple[int, int, np.ndarray]],
+    region_len: int,
     min_ins_frac: float = 0.4,
     min_ins_support: int = 2,
-) -> np.ndarray | None:
-    """Build one haplotype consensus contig over the region window."""
-    if len(idxs) < cfg.min_reads:
-        return None
-    mat, inss = pileup_with_dels(reads, idxs, region_start, region_len)
-    sym, cov = _column_vote(mat)
+) -> dict[int, np.ndarray]:
+    """Insertion-consensus decision: position-cluster the I events and keep
+    clusters supported by >= min_ins_frac of the SPANNING local depth (a read
+    clipped inside the inserted sequence cannot express the I op, so raw
+    column coverage under-votes large INS).  Returns {column: medoid seq}."""
     ins_clusters = _cluster_insertions(inss)
-    # insertion decision per cluster
     ins_at: dict[int, np.ndarray] = {}
-    valid = mat != NOCOV
     for pos, seqs in ins_clusters:
-        # denominator = reads that SPAN the site: a read clipped at the
-        # insertion (enters or leaves inside the inserted sequence) cannot
-        # express the I op, so raw column coverage under-votes large INS
         lo = max(0, pos - 30)
         hi = min(region_len - 1, pos + 30)
         local_cov = max(int((valid[:, lo] & valid[:, hi]).sum()), 1)
@@ -139,12 +133,17 @@ def consensus_contig(
             med = np.median(lens)
             pick = int(np.argmin(np.abs(lens - med)))
             ins_at[pos] = seqs[pick]
-    # stitch: per column emit consensus base unless deleted/uncovered
-    pieces: list[np.ndarray] = []
+    return ins_at
+
+
+def stitch_contig(
+    sym: np.ndarray, cov: np.ndarray, ins_at: dict[int, np.ndarray],
+) -> np.ndarray | None:
+    """Emit the consensus: per column the voted base unless deleted/uncovered,
+    with decided insertions spliced in at their columns."""
     take = sym < 4  # A/C/G/T columns (N, DEL, or NOCOV are skipped)
     covered = cov > 0
     emit_base = take & covered
-    # build output with insertions spliced in
     positions = np.nonzero(emit_base)[0]
     base_vals = sym[positions]
     if positions.size == 0 and not ins_at:
@@ -160,6 +159,23 @@ def consensus_contig(
     out.append(base_vals[positions >= start].astype(np.uint8))
     contig = np.concatenate(out) if out else np.zeros(0, np.uint8)
     return contig if len(contig) else None
+
+
+def consensus_contig(
+    reads: list[bamio.BamRecord], idxs: list[int],
+    region_start: int, region_len: int,
+    cfg: AssemblyConfig = AssemblyConfig(),
+    min_ins_frac: float = 0.4,
+    min_ins_support: int = 2,
+) -> np.ndarray | None:
+    """Build one haplotype consensus contig over the region window."""
+    if len(idxs) < cfg.min_reads:
+        return None
+    mat, inss = pileup_with_dels(reads, idxs, region_start, region_len)
+    sym, cov = _column_vote(mat)
+    ins_at = decide_insertions(mat != NOCOV, inss, region_len,
+                               min_ins_frac, min_ins_support)
+    return stitch_contig(sym, cov, ins_at)
 
 
 def assemble_haplotypes(

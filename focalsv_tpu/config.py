@@ -203,6 +203,30 @@ class MeshConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ExecutionConfig:
+    """How the per-region hot path executes (pipeline/device_exec.py).
+
+    "device": regions are bucketized into fixed-shape pileup tiles and
+    phasing + consensus run as batched compiled kernels (one dispatch per
+    bucket), with the aligner's gap DPs routed through the cross-thread DP
+    batcher on accelerator backends.  "host": the per-region numpy path
+    (pipeline/region.py), one region at a time.
+    """
+
+    mode: str = "device"                # "device" | "host"
+    # HBM working-set budget per device dispatch (bytes of pileup tile)
+    batch_bytes: int = 128 << 20
+    max_regions_per_batch: int = 8
+    # tiles above these bounds fall back to the host per-region path
+    max_tile_reads: int = 1024
+    max_tile_len: int = 1 << 18
+    # activate the cross-thread DP batcher (parallel/batch_executor.py) so
+    # concurrent gap DPs run as one device batch; None = auto (on for
+    # non-CPU backends)
+    dp_batching: Optional[bool] = None
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     """Top-level configuration: one preset per data type."""
 
@@ -219,6 +243,7 @@ class PipelineConfig:
     gt_impute: GTImputeConfig = GTImputeConfig()
     align: AlignConfig = AlignConfig()
     mesh: MeshConfig = MeshConfig()
+    execution: ExecutionConfig = ExecutionConfig()
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

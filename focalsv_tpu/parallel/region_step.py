@@ -1,18 +1,31 @@
-"""Device-batched region compute: phasing + consensus voting over region tiles.
+"""Device-batched region compute: the production phasing + consensus step.
 
-The host builds fixed-shape (reads x length) pileup tiles per region
-(bucketized); the device then runs, for a whole region batch at once:
+The host builds one fixed-shape (reads x length) pileup tile per region
+(pipeline/device_exec.py bucketizes them); the device then runs, for a whole
+region batch in ONE dispatch:
 
-- het-site detection: per-column base counts, balanced-fraction test, top-S
-  site selection (phasing/phase.py::find_het_sites semantics);
-- MEC phasing: the alternating majority optimization (mec_phase) as fixed
-  fori_loop iterations of masked matrix reductions;
-- haplotype consensus voting: per-column symbol counts weighted by the read
-  assignment (assembly/consensus.py::_column_vote per haplotype).
+- het-site detection: per-column base counts, integer-thresholded het band,
+  f32-balance top-k site selection (phasing/phase.py::find_het_sites +
+  phase_region max_sites selection, bit-identical by construction);
+- 3-sigma co-phasing site purification (phasing/phase.py::purify_sites,
+  exact integer reformulation);
+- MEC phasing: chained adjacent-site parity init (as a cumulative XOR) +
+  alternating majority refinement (phasing/phase.py::mec_phase);
+- haplotype consensus voting: per-column 6-symbol counts {A,C,G,T,N,DEL}
+  weighted by the read assignment, unphased reads voting in both haplotypes
+  (assembly/consensus.py::_column_vote over group_reads_by_block groups).
 
 Everything is vmapped over the region axis and shards over the mesh's
-'regions' axis (parallel/mesh.py) -- the compiled 'region step' of the
-framework.  Insertion consensus (ragged) stays host-side.
+'regions' axis (parallel/mesh.py).  Every threshold comparison is integer
+arithmetic and every ratio is a correctly-rounded f32 division, so the
+device results bit-match the host reference implementations -- the contract
+tests/test_device_pipeline.py enforces.  Ragged work (insertion consensus,
+phase-block splits, contig stitching) stays host-side in
+pipeline/device_exec.py.
+
+Reference contrast: this step replaces the per-region longshot + hifiasm
+process launches of focalsv/main.py:104-155 with one compiled kernel over a
+batch of regions.
 """
 
 from __future__ import annotations
@@ -21,105 +34,173 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 NOCOV = 255
 DEL_SYM = 254
 
 
-@functools.partial(jax.jit, static_argnames=("max_sites", "mec_iters"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_sites", "mec_iters", "min_site_depth", "min_minor_count",
+        "lo_num", "lo_den", "hi_num", "hi_den",
+        "purify_window", "purify_min_pairs", "purify_num", "purify_den",
+    ),
+)
 def phase_consensus_batch(
-    mat: jax.Array,          # (G, R, L) uint8 pileup tiles (255 = no cover)
+    mat: jax.Array,          # (G, R, L) uint8 pileup tiles (254=del, 255=nocov)
     read_valid: jax.Array,   # (G, R) bool
-    max_sites: int = 64,
-    mec_iters: int = 20,
+    *,
+    max_sites: int = 512,
+    mec_iters: int = 30,
     min_site_depth: int = 4,
-    min_allele_frac: float = 0.25,
-    max_allele_frac: float = 0.75,
+    min_minor_count: int = 2,
+    lo_num: int = 1, lo_den: int = 4,     # min_allele_frac as a rational
+    hi_num: int = 3, hi_den: int = 4,     # max_allele_frac as a rational
+    purify_window: int = 4,
+    purify_min_pairs: int = 4,
+    purify_num: int = 1, purify_den: int = 2,   # purify min_corr rational
 ):
-    """Returns per region: (site_pos (S,), site_valid, hp (R,) in {0,1,2},
-    cons_hp1 (L,), cons_hp2 (L,)) -- the device core of steps 2+3."""
+    """Returns per region (all leading G axis):
+
+    - site_pos (S,) int32: het-site columns, purified, ascending; tail junk
+    - n_sites () int32: number of valid leading entries of site_pos / A
+    - A (R, S) int8: purified allele matrix (0/1, -1 = missing), compacted
+    - hp (R,) int8: read haplotype 1/2 (0 = unphased), single-block MEC
+    - sym (2, L) uint8: per-haplotype consensus symbol (argmax of 6 counts)
+    - cov (2, L) int32: per-haplotype consensus vote depth
+    """
 
     def one(m, rv):
         R, L = m.shape
-        cov = (m <= 4) & rv[:, None]
-        counts = jnp.stack([(cov & (m == b)).sum(0) for b in range(4)], 1)
+        S = max_sites
+        # --- het-site detection (phasing view: only base codes 0..3 vote;
+        #     DEL/NOCOV symbols 254/255 fall out of the == tests) ----------
+        counts = jnp.stack(
+            [(m == b).sum(0, dtype=jnp.int32) for b in range(4)], axis=1)
         depth = counts.sum(1)
-        order = jnp.argsort(-counts, axis=1)
-        a0 = order[:, 0].astype(jnp.uint8)
-        a1 = order[:, 1].astype(jnp.uint8)
-        top2 = jnp.take_along_axis(counts, order[:, :2], axis=1)
-        frac1 = top2[:, 1] / jnp.maximum(depth, 1)
-        is_het = ((depth >= min_site_depth)
-                  & (frac1 >= min_allele_frac)
-                  & (frac1 <= max_allele_frac)
-                  & (top2[:, 1] >= 2))
-        balance = jnp.where(is_het, frac1, -1.0)
-        site_score, site_pos = jax.lax.top_k(balance, max_sites)
-        site_valid = site_score > 0
-        site_pos = jnp.sort(jnp.where(site_valid, site_pos, L - 1))
-        sa0 = a0[site_pos]
-        sa1 = a1[site_pos]
-        sub = m[:, site_pos]                       # (R, S)
+        a0 = jnp.argmax(counts, axis=1)
+        onehot0 = jax.nn.one_hot(a0, 4, dtype=jnp.bool_)
+        masked = jnp.where(onehot0, -1, counts)
+        a1 = jnp.argmax(masked, axis=1)
+        top1 = jnp.max(masked, axis=1)            # minor-allele count
+        n0 = jnp.max(counts, axis=1)              # major-allele count
+        is_het = (
+            (depth >= max(min_site_depth, 1))
+            & (top1 * lo_den >= depth * lo_num)
+            & (top1 * hi_den <= depth * hi_num)
+            & (top1 >= min_minor_count)
+        )
+        # balance-ranked selection: f32 ratio, top_k ties -> lowest column
+        bal = jnp.where(
+            is_het,
+            top1.astype(jnp.float32) / jnp.maximum(n0 + top1, 1).astype(jnp.float32),
+            jnp.float32(-1.0))
+        vals, idx = jax.lax.top_k(bal, S)
+        sel = vals > 0
+        # order selected sites by position (invalid pinned stably to the tail)
+        pos_key = jnp.where(sel, idx, L + jnp.arange(S, dtype=jnp.int32))
+        order = jnp.argsort(pos_key)
+        site_pos = jnp.take(idx, order).astype(jnp.int32)
+        sel = jnp.take(sel, order)
+        sa0 = a0[site_pos].astype(jnp.uint8)
+        sa1 = a1[site_pos].astype(jnp.uint8)
+        sub = m[:, site_pos]
         A = jnp.where(sub == sa0[None, :], 0,
                       jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)
-        A = jnp.where(rv[:, None], A, -1)
-        # padded (invalid) site slots land at the array tail after the sort
-        # (they were pinned to column L-1); they must not vote in MEC
-        n_valid = site_valid.sum()
-        pad_sites = jnp.arange(A.shape[1]) >= n_valid
-        A = jnp.where(pad_sites[None, :], jnp.int8(-1), A)
+        A = jnp.where(sel[None, :] & rv[:, None], A, jnp.int8(-1))
+
+        # --- purification (integer 3-sigma co-phasing test) ---------------
         covA = A >= 0
-        # chained adjacent-site phase init
-        def chain(carry, s):
-            h_prev = carry
-            both = covA[:, s - 1] & covA[:, s]
-            same = (both & (A[:, s - 1] == A[:, s])).sum()
-            diff = both.sum() - same
-            h = jnp.where(both.sum() == 0, h_prev,
-                          jnp.where(same >= diff, h_prev, 1 - h_prev))
-            return h, h
-        S = A.shape[1]
-        _, hs = jax.lax.scan(chain, jnp.int8(0),
-                             jnp.arange(1, S, dtype=jnp.int32))
-        h = jnp.concatenate([jnp.zeros(1, jnp.int8), hs])
+        passed = jnp.zeros(S, bool)
+        for d in range(1, min(purify_window, S - 1) + 1):
+            both = covA[:, :-d] & covA[:, d:]
+            n = both.sum(0, dtype=jnp.int32)
+            same = ((A[:, :-d] == A[:, d:]) & both).sum(0, dtype=jnp.int32)
+            dev = jnp.abs(2 * same - n)
+            ok = ((n >= purify_min_pairs)
+                  & (dev * purify_den >= n * purify_num)
+                  & (dev * dev >= 9 * n))
+            passed = passed | jnp.pad(ok, (0, d)) | jnp.pad(ok, (d, 0))
+        n_het = sel.sum()
+        passed = jnp.where(n_het >= 2, passed, sel)  # <2 sites: purify is a no-op
+        new_valid = sel & passed
+        # re-compact (valid sites keep ascending position order)
+        slot = jnp.arange(S, dtype=jnp.int32)
+        order2 = jnp.argsort(jnp.where(new_valid, slot, S + slot))
+        A = jnp.take(A, order2, axis=1)
+        site_pos = jnp.take(site_pos, order2)
+        new_valid = jnp.take(new_valid, order2)
+        A = jnp.where(new_valid[None, :], A, jnp.int8(-1))
+        n_sites = new_valid.sum().astype(jnp.int32)
+
+        # --- MEC phasing ---------------------------------------------------
+        covA = A >= 0
+        # chained adjacent-site parity init as a cumulative XOR
+        both = covA[:, :-1] & covA[:, 1:]
+        nb = both.sum(0, dtype=jnp.int32)
+        same = ((A[:, :-1] == A[:, 1:]) & both).sum(0, dtype=jnp.int32)
+        flip = ((nb > 0) & (same < nb - same)).astype(jnp.int32)
+        h = (jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(flip)])
+             % 2).astype(jnp.int8)
 
         def it(_, h):
-            agree = ((A == h[None, :]) & covA).sum(1)
-            disagree = ((A == (1 - h)[None, :]) & covA).sum(1)
+            agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
+            disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
             assign = jnp.where(agree >= disagree, 0, 1)
             hap1 = (assign == 0)[:, None] & covA
             hap2 = (assign == 1)[:, None] & covA
-            v1 = ((A == 1) & hap1).sum(0) + ((A == 0) & hap2).sum(0)
-            v0 = ((A == 0) & hap1).sum(0) + ((A == 1) & hap2).sum(0)
+            v1 = ((A == 1) & hap1).sum(0, dtype=jnp.int32) + \
+                 ((A == 0) & hap2).sum(0, dtype=jnp.int32)
+            v0 = ((A == 0) & hap1).sum(0, dtype=jnp.int32) + \
+                 ((A == 1) & hap2).sum(0, dtype=jnp.int32)
             return jnp.where(v1 > v0, 1, 0).astype(jnp.int8)
 
         h = jax.lax.fori_loop(0, mec_iters, it, h)
-        agree = ((A == h[None, :]) & covA).sum(1)
-        disagree = ((A == (1 - h)[None, :]) & covA).sum(1)
+        agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
+        disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
         informative = (agree + disagree) > 0
-        hp = jnp.where(~rv, 0,
-                       jnp.where(~informative, 0,
-                                 jnp.where(agree >= disagree, 1, 2)))
-        # consensus votes per haplotype (unphased reads vote in both)
+        hp = jnp.where(rv & informative,
+                       jnp.where(agree >= disagree, 1, 2), 0).astype(jnp.int8)
+
+        # --- consensus votes per haplotype (unphased reads vote in both) --
         def vote(mask):
             use = (mask | (hp == 0)) & rv
             c = jnp.stack(
-                [((m == b) & use[:, None]).sum(0) for b in range(5)]
-                + [((m == DEL_SYM) & use[:, None]).sum(0)], 1)
-            return jnp.argmax(c, 1).astype(jnp.uint8), c.sum(1)
+                [((m == b) & use[:, None]).sum(0, dtype=jnp.int32)
+                 for b in range(5)]
+                + [((m == DEL_SYM) & use[:, None]).sum(0, dtype=jnp.int32)],
+                axis=1)
+            # vote depth fits int16 (reads per tile <= 1024, 6 symbol bins);
+            # halves the device->host bytes of the cov plane
+            return (jnp.argmax(c, axis=1).astype(jnp.uint8),
+                    c.sum(1).astype(jnp.int16))
 
-        s1, cov1 = vote(hp == 1)
-        s2, cov2 = vote(hp == 2)
-        return (site_pos.astype(jnp.int32), ~pad_sites, hp.astype(jnp.int8),
-                s1, cov1.astype(jnp.int32), s2, cov2.astype(jnp.int32))
+        s1, c1 = vote(hp == 1)
+        s2, c2 = vote(hp == 2)
+        return (site_pos, n_sites, A, hp,
+                jnp.stack([s1, s2]), jnp.stack([c1, c2]))
 
     return jax.vmap(one)(mat, read_valid)
 
 
+def phase_consensus_kwargs(phasing_cfg) -> dict:
+    """Static kernel knobs from a PhasingConfig (rationalized thresholds)."""
+    from focalsv_tpu.phasing.phase import frac_parts
+    lo_num, lo_den = frac_parts(phasing_cfg.min_allele_frac)
+    hi_num, hi_den = frac_parts(phasing_cfg.max_allele_frac)
+    return dict(
+        max_sites=phasing_cfg.max_sites,
+        mec_iters=phasing_cfg.mec_iters,
+        min_site_depth=phasing_cfg.min_site_depth,
+        min_minor_count=phasing_cfg.min_minor_count,
+        lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
+    )
+
+
 def sharded_phase_consensus(mat, read_valid, mesh, **kw):
     """phase_consensus_batch sharded over the mesh's regions axis."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from focalsv_tpu.parallel.mesh import DATA_AXIS
     spec = P(DATA_AXIS)
@@ -127,7 +208,7 @@ def sharded_phase_consensus(mat, read_valid, mesh, **kw):
         lambda m, rv: phase_consensus_batch(m, rv, **kw),
         mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(spec,) * 7,
+        out_specs=(spec,) * 6,
         check_vma=False,
     )
     return fn(mat, read_valid)

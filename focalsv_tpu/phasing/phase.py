@@ -16,11 +16,24 @@ max-overlap block.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from fractions import Fraction
 
 import numpy as np
 
 from focalsv_tpu.config import PhasingConfig
 from focalsv_tpu.io import bam as bamio
+
+
+def frac_parts(x: float, max_den: int = 10_000) -> tuple[int, int]:
+    """Exact small-rational representation of a config threshold.
+
+    All threshold comparisons in phasing are done in INTEGER arithmetic
+    (count * den >= total * num) so the host numpy path and the device JAX
+    path (f32) decide identically at boundaries -- a prerequisite for the
+    bit-parity contract between pipeline/region.py and pipeline/device_exec.
+    """
+    f = Fraction(x).limit_denominator(max_den)
+    return f.numerator, f.denominator
 
 
 # pileup symbol for the first column of a >= MIN_SV_MARK deletion: large
@@ -93,12 +106,16 @@ def find_het_sites(
     top1 = np.take_along_axis(masked, a1[:, None], axis=1)[:, 0]
     a0 = a0.astype(np.uint8)
     a1 = a1.astype(np.uint8)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        frac1 = np.where(depth > 0, top1 / np.maximum(depth, 1), 0.0)
+    # integer threshold arithmetic (see frac_parts): minor/depth in the het
+    # band becomes minor*den >= depth*num -- exact, and identical on device
+    lo_n, lo_d = frac_parts(cfg.min_allele_frac)
+    hi_n, hi_d = frac_parts(cfg.max_allele_frac)
+    top1 = top1.astype(np.int64)
+    depth = depth.astype(np.int64)
     is_het = (
-        (depth >= cfg.min_site_depth)
-        & (frac1 >= cfg.min_allele_frac)
-        & (frac1 <= cfg.max_allele_frac)
+        (depth >= max(cfg.min_site_depth, 1))
+        & (top1 * lo_d >= depth * lo_n)
+        & (top1 * hi_d <= depth * hi_n)
         & (top1 >= cfg.min_minor_count)
     )
     pos = np.nonzero(is_het)[0]
@@ -131,17 +148,19 @@ def purify_sites(A: np.ndarray, window: int = 4, min_corr: float = 0.5,
         return A
     cov = A >= 0
     passed = np.zeros(S, bool)
+    # corr = |2*same - n| / n; corr >= max(min_corr, 3/sqrt(n)) in exact
+    # integer form: dev*den >= n*num  AND  dev^2 >= 9n (dev = |2*same - n|)
+    c_num, c_den = frac_parts(min_corr)
     for d in range(1, min(window, S - 1) + 1):
         a, b = A[:, :-d], A[:, d:]
         both = cov[:, :-d] & cov[:, d:]
-        n = both.sum(axis=0)
-        same = ((a == b) & both).sum(axis=0)
-        corr = np.abs(2 * same / np.maximum(n, 1) - 1.0)
+        n = both.sum(axis=0).astype(np.int64)
+        same = ((a == b) & both).sum(axis=0).astype(np.int64)
+        dev = np.abs(2 * same - n)
         # significance gate: under the null (unlinked alleles) corr is
         # ~|2*Binom(n,1/2)/n - 1|, sd 1/sqrt(n) -- demand 3 sigma, so chance
         # co-phasing on a handful of shared reads cannot rescue a noise site
-        thresh = np.maximum(min_corr, 3.0 / np.sqrt(np.maximum(n, 1)))
-        ok = (n >= min_pairs) & (corr >= thresh)
+        ok = (n >= min_pairs) & (dev * c_den >= n * c_num) & (dev * dev >= 9 * n)
         passed[:-d] |= ok
         passed[d:] |= ok
     out = A.copy()
@@ -202,9 +221,16 @@ def mec_phase(A: np.ndarray, iters: int = 30, seed: int = 0) -> tuple[np.ndarray
                  ((A == 1) & cov & hap2[:, None]).sum(axis=0)
         new_h = np.where(votes1 > votes0, 1, 0).astype(np.int8)
         if (new_h == h).all() and (new_assign == assign).all():
-            assign = new_assign
+            h, assign = new_h, new_assign
             break
         h, assign = new_h, new_assign
+    # read assignment consistent with the FINAL site phase (the device region
+    # step computes hp from the post-loop h; at a fixed point -- the normal
+    # exit -- this equals the last in-loop assignment)
+    agree = ((A == h[None, :]) & cov).sum(axis=1)
+    disagree = ((A == (1 - h)[None, :]) & cov).sum(axis=1)
+    assign = np.where(agree >= disagree, 0, 1).astype(np.int8)
+    assign[(agree + disagree) == 0] = -1
     return h, assign
 
 
@@ -232,12 +258,15 @@ def phase_region(
     mat = pileup_matrix(reads, region_start, L)
     sites = find_het_sites(mat, ref_codes, cfg)
     if len(sites.positions) > cfg.max_sites:
-        # keep the highest-confidence (most balanced) sites
+        # keep the highest-confidence (most balanced) sites.  Balance is an
+        # f32 ratio with a STABLE descending sort (ties -> lowest position),
+        # matching the device step's f32 top_k tie-break exactly
         sub = mat[:, sites.positions]
         n1 = (sub == sites.allele1[None, :]).sum(axis=0)
         n0 = (sub == sites.allele0[None, :]).sum(axis=0)
-        bal = np.minimum(n0, n1) / np.maximum(n0 + n1, 1)
-        keep = np.sort(np.argsort(-bal)[: cfg.max_sites])
+        bal = (np.minimum(n0, n1).astype(np.float32)
+               / np.maximum(n0 + n1, 1).astype(np.float32))
+        keep = np.sort(np.argsort(-bal, kind="stable")[: cfg.max_sites])
         sites = HetSites(sites.positions[keep], sites.allele0[keep],
                          sites.allele1[keep])
     if cfg.use_pairhmm:

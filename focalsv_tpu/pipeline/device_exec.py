@@ -1,0 +1,260 @@
+"""Device-batched execution of the per-region hot path.
+
+The production TPU path (ExecutionConfig.mode == "device"): the host builds
+one fixed-shape pileup tile per region, tiles are bucketized by padded
+(reads, length) shape, and each bucket runs phasing + consensus as ONE
+compiled device dispatch (`parallel/region_step.phase_consensus_batch`,
+sharded over the mesh's regions axis when more than one device is visible).
+The ragged remainder -- insertion consensus, phase-block bookkeeping, contig
+stitching, contig->reference alignment and variant extraction -- finishes on
+host threads, with the aligner's gap DPs batched cross-thread onto the device
+(`parallel/batch_executor.dp_batching`).
+
+Bit-parity contract: for single-phase-block regions this path produces
+byte-identical contigs, hp/ps assignments and VCF records to the host
+per-region path (pipeline/region.py::process_region); multi-block regions
+(device MEC is global, host MEC is per block) transparently fall back to the
+host path.  tests/test_device_pipeline.py enforces the contract.
+
+Reference contrast: focalsv/main.py:104-155 runs longshot + hifiasm +
+minimap2 *processes* per region; here the same per-region math is a batched
+compiled kernel plus a shared device DP service.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from focalsv_tpu.assembly.consensus import (NOCOV, decide_insertions,
+                                            pileup_with_dels, stitch_contig)
+from focalsv_tpu.config import PipelineConfig
+from focalsv_tpu.io import bam as bamio
+from focalsv_tpu.phasing.phase import (PhaseResult, group_reads_by_block,
+                                       phase_blocks)
+from focalsv_tpu.pipeline.region import (RegionResult, finish_region_result,
+                                         process_region)
+from focalsv_tpu.utils.logging import get_logger
+
+logger = get_logger("device_exec")
+
+
+@dataclass
+class RegionTile:
+    """Host-side staging of one region for the device step."""
+
+    chrom: str
+    start: int
+    ref_codes: np.ndarray
+    reads: list                      # raw fetched reads (FP-filter evidence)
+    usable: list                     # phasing-eligible reads
+    mat: np.ndarray | None = None    # (R, L) uint8 pileup (254 del, 255 nocov)
+    ins_by_read: list = field(default_factory=list)
+
+    @property
+    def region_len(self) -> int:
+        return len(self.ref_codes)
+
+
+def build_tile(reads, ref_codes, region_start: int, chrom: str,
+               cfg: PipelineConfig) -> RegionTile:
+    """Usable-read filter + the one CIGAR walk that feeds both phasing and
+    consensus (process_region's pileup passes, done once)."""
+    usable = [r for r in reads
+              if not r.is_unmapped and not r.is_secondary
+              and not r.is_supplementary and r.mapq >= cfg.phasing.min_mapq]
+    tile = RegionTile(chrom=chrom, start=region_start, ref_codes=ref_codes,
+                      reads=reads, usable=usable)
+    if usable:
+        mat, inss = pileup_with_dels(usable, list(range(len(usable))),
+                                     region_start, len(ref_codes))
+        tile.mat = mat
+        tile.ins_by_read = [[] for _ in usable]
+        for pos, mi, seq in inss:
+            tile.ins_by_read[mi].append((pos, seq))
+    return tile
+
+
+def _pow2(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _len_bucket(n: int, lo: int = 4096) -> int:
+    # x2 steps: padding waste (host->device bytes over a possibly-remote
+    # link) costs more than the extra compile shapes, which persist in the
+    # XLA compilation cache
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _bucket_key(tile: RegionTile, cfg: PipelineConfig) -> tuple[int, int] | None:
+    """(R_pad, L_pad) bucket, or None when the tile must take the host path."""
+    ex = cfg.execution
+    R = len(tile.usable)
+    L = tile.region_len
+    if R == 0 or R > ex.max_tile_reads or L > ex.max_tile_len:
+        return None
+    if cfg.phasing.use_pairhmm:
+        # pair-HMM realignment of the allele matrix is a host-path feature
+        return None
+    return _pow2(R, 8), _len_bucket(L)
+
+
+def _batch_size(key: tuple[int, int], cfg: PipelineConfig,
+                n_devices: int) -> int:
+    ex = cfg.execution
+    g = max(1, min(ex.max_regions_per_batch,
+                   int(ex.batch_bytes // (key[0] * key[1]))))
+    if n_devices > 1:
+        # shard_map needs the batch divisible by the mesh
+        g = max(n_devices, (g // n_devices) * n_devices)
+    return g
+
+
+_cache_ready = False
+
+
+def _ensure_compile_cache():
+    """Persistent XLA compilation cache: bucketized tile shapes recompile
+    only once per machine, not once per process."""
+    global _cache_ready
+    if _cache_ready:
+        return
+    _cache_ready = True
+    try:
+        import os
+
+        import jax
+        path = os.environ.get("FOCALSV_JAX_CACHE",
+                              os.path.expanduser("~/.cache/focalsv_jax"))
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        logger.exception("could not enable the persistent compile cache")
+
+
+def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
+                    mesh=None) -> dict[int, tuple]:
+    """Dispatch every bucketizable tile through the device region step.
+
+    Returns {tile_index: (site_pos, n_sites, A, hp, sym, cov)} as host numpy
+    arrays already cropped to the tile's true (R, L).  Tiles that exceed the
+    tile bounds are absent (host fallback).
+    """
+    from focalsv_tpu.parallel.region_step import (phase_consensus_batch,
+                                                  phase_consensus_kwargs,
+                                                  sharded_phase_consensus)
+    _ensure_compile_cache()
+    kw = phase_consensus_kwargs(cfg.phasing)
+    n_devices = mesh.size if mesh is not None else 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, t in enumerate(tiles):
+        key = _bucket_key(t, cfg)
+        if key is not None:
+            buckets.setdefault(key, []).append(i)
+    # dispatch every chunk first (JAX dispatch is async, so host tile packing,
+    # device compute, and result transfers all pipeline), then materialize
+    pending: list[tuple[list[int], tuple]] = []
+    for (Rp, Lp), idxs in sorted(buckets.items()):
+        G = _batch_size((Rp, Lp), cfg, n_devices)
+        for c0 in range(0, len(idxs), G):
+            chunk = idxs[c0 : c0 + G]
+            mat = np.full((G, Rp, Lp), NOCOV, np.uint8)
+            rv = np.zeros((G, Rp), bool)
+            for g, ti in enumerate(chunk):
+                t = tiles[ti]
+                R, L = t.mat.shape
+                mat[g, :R, :L] = t.mat
+                rv[g, :R] = True
+            if mesh is not None and n_devices > 1:
+                res = sharded_phase_consensus(mat, rv, mesh, **kw)
+            else:
+                res = phase_consensus_batch(mat, rv, **kw)
+            pending.append((chunk, res))
+    out: dict[int, tuple] = {}
+    for chunk, res in pending:
+        site_pos, n_sites, A, hp, sym, cov = [np.asarray(x) for x in res]
+        for g, ti in enumerate(chunk):
+            t = tiles[ti]
+            R, L = t.mat.shape
+            S = int(n_sites[g])
+            out[ti] = (site_pos[g, :S], S, A[g, :R, :S], hp[g, :R],
+                       sym[g, :, :L], cov[g, :, :L])
+    return out
+
+
+def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
+                apply_fp_filter: bool = False) -> RegionResult | None:
+    """Host completion of one region from the device step's outputs.
+
+    Returns None when the region needs the host fallback (multi-block
+    phasing), in which case the caller reruns process_region.
+    """
+    R = len(tile.usable)
+    L = tile.region_len
+    chrom, start = tile.chrom, tile.start
+    res = RegionResult(chrom=chrom, start=start, end=start + L)
+    res.n_reads = R
+    site_pos, S, A, hp, sym, cov = dev
+    if S == 0:
+        pr = PhaseResult(np.zeros(R, np.int8), np.full(R, -1, np.int64), 0, 0,
+                         np.zeros(0, np.int64), np.zeros(0, np.int64))
+    else:
+        blocks = phase_blocks(A)
+        if int(blocks.max()) > 0:
+            return None   # multi-block region: host per-block MEC path
+        ps_id = start + int(site_pos[0]) + 1
+        ps = np.where(hp > 0, ps_id, -1).astype(np.int64)
+        pr = PhaseResult(hp.astype(np.int8), ps, S, 1,
+                         site_pos.astype(np.int64) + start, blocks)
+    res.n_phased = int((pr.hp > 0).sum())
+    res.n_blocks = pr.n_blocks
+    groups = group_reads_by_block(tile.usable, pr)
+    hp1: dict[str, np.ndarray] = {}
+    hp2: dict[str, np.ndarray] = {}
+    name_prefix = f"{chrom}_S{start}"
+    valid = tile.mat != NOCOV
+    for (psid, k), idxs in sorted(groups.items()):
+        tgt = hp1 if k in (0, 1) else hp2
+        if cfg.assembly.method == "olc":
+            from focalsv_tpu.assembly.olc import assemble_olc
+            contig = assemble_olc([tile.usable[i].seq for i in idxs],
+                                  cfg.assembly)
+        elif len(idxs) < cfg.assembly.min_reads:
+            contig = None
+        else:
+            row = 0 if k in (0, 1) else 1
+            inss = [(pos, mi, seq) for mi, ri in enumerate(idxs)
+                    for (pos, seq) in tile.ins_by_read[ri]]
+            ins_at = decide_insertions(valid[idxs], inss, L)
+            contig = stitch_contig(sym[row], cov[row], ins_at)
+        if contig is None:
+            continue
+        name = f"{name_prefix}_PS{psid}_hp{max(k, 1)}"
+        tgt[name] = contig
+        if k == 0:
+            hp2[f"{name_prefix}_PS{psid}_hp2"] = contig
+    res.n_contigs = len(hp1) + len(hp2)
+    res.usable_reads = tile.usable
+    res.phase_hp, res.phase_ps = pr.hp, pr.ps
+    res.contigs_hp1, res.contigs_hp2 = hp1, hp2
+    finish_region_result(res, tile.reads, tile.ref_codes, start, chrom, cfg,
+                         apply_fp_filter)
+    return res
+
+
+def process_region_device(tile: RegionTile, dev, cfg: PipelineConfig,
+                          apply_fp_filter: bool = False) -> RegionResult:
+    """finish_tile with the host fallback folded in (dev may be None)."""
+    if dev is not None:
+        res = finish_tile(tile, dev, cfg, apply_fp_filter)
+        if res is not None:
+            return res
+    return process_region(tile.reads, tile.ref_codes, tile.start, tile.chrom,
+                          cfg, apply_fp_filter=apply_fp_filter)

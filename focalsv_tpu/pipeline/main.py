@@ -94,6 +94,90 @@ class ChromosomeResult:
     seconds: float = 0.0
 
 
+def _dp_batching_enabled(cfg: PipelineConfig) -> bool:
+    """Cross-thread DP batching: explicit flag wins, else on for accelerator
+    backends (on CPU the native host kernel beats a fake device round-trip)."""
+    if cfg.execution.dp_batching is not None:
+        return cfg.execution.dp_batching
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+def _run_regions_device(bam, fasta, chrom, regions, cfg, out_dir, chrom_len,
+                        num_workers, failures, timer):
+    """Device-batched region execution: tile -> bucketed device dispatch ->
+    host finish (with gap DPs batched onto the device).  See
+    pipeline/device_exec.py for the parity contract."""
+    import contextlib
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from focalsv_tpu.pipeline import device_exec as dx
+
+    def pmap(fn, items):
+        if num_workers > 1 and len(items) > 1:
+            with ThreadPoolExecutor(max_workers=num_workers) as ex:
+                return list(ex.map(fn, items))
+        return [fn(x) for x in items]
+
+    def fetch_and_tile(region: Region):
+        start = max(0, region.start)
+        end = min(chrom_len, region.end)
+        if end <= start:
+            return None
+        try:
+            reads = list(bam.fetch(chrom, start, end))
+            ref_codes = fasta.fetch(chrom, start, end)
+            return dx.build_tile(reads, ref_codes, start, chrom, cfg)
+        except Exception:
+            logger.exception("region %s tiling failed; skipping",
+                             region.name())
+            failures.append(region.name())
+            return None
+
+    with timer.stage("fetch_tile"):
+        tiles = pmap(fetch_and_tile, regions)
+    live = [i for i, t in enumerate(tiles) if t is not None]
+    with timer.stage("device_phase_consensus"):
+        mesh = None
+        import jax
+        if jax.device_count() > 1:
+            from focalsv_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        try:
+            dev_outs = dx.run_device_step([tiles[i] for i in live], cfg,
+                                          mesh=mesh)
+        except Exception:
+            logger.exception("device region step failed; host fallback for "
+                             "all %d regions", len(live))
+            dev_outs = {}
+
+    def finish(j: int):
+        i = live[j]
+        tile = tiles[i]
+        try:
+            rres = dx.process_region_device(tile, dev_outs.get(j), cfg,
+                                            apply_fp_filter=False)
+        except Exception:
+            logger.exception("region %s failed; skipping",
+                             regions[i].name())
+            failures.append(regions[i].name())
+            return None
+        if out_dir:
+            rdir = os.path.join(out_dir, "regions", regions[i].name())
+            os.makedirs(rdir, exist_ok=True)
+            _write_region_artifacts(rdir, rres, chrom, chrom_len)
+        return rres
+
+    batch_ctx = contextlib.nullcontext()
+    if _dp_batching_enabled(cfg):
+        from focalsv_tpu.parallel.batch_executor import dp_batching
+        batch_ctx = dp_batching()
+    with timer.stage("finish_align_call"), batch_ctx:
+        results = pmap(finish, list(range(len(live))))
+    return results
+
+
 def process_chromosome(
     bam: bamio.BamReader,
     fasta: FastaFile,
@@ -106,10 +190,16 @@ def process_chromosome(
 ) -> ChromosomeResult:
     """All regions of one chromosome -> refined chromosome VCF records.
 
-    Regions run on a thread pool (numpy/native code releases the GIL and JAX
-    dispatch is thread-safe), overlapping host work with device calls -- the
-    TPU-side analog of the reference's joblib.Parallel over regions.
+    Execution modes (cfg.execution.mode):
+    - "device" (default): regions bucketized into fixed-shape pileup tiles;
+      phasing + consensus run as one compiled device batch per bucket and
+      the aligner's gap DPs batch cross-thread onto the device -- the TPU is
+      the engine of the hot path.
+    - "host": per-region numpy on a thread pool (the reference's
+      joblib.Parallel analog; also the fallback inside device mode).
     """
+    from focalsv_tpu.utils.profiling import StageTimer
+    timer = StageTimer()
     t0 = time.perf_counter()
     res = ChromosomeResult(chrom=chrom, n_regions=len(regions))
     chrom_len = fasta.lengths().get(chrom)
@@ -142,12 +232,18 @@ def process_chromosome(
             _write_region_artifacts(rdir, rres, chrom, chrom_len)
         return rres
 
-    if num_workers > 1 and len(regions) > 1:
+    if cfg.execution.mode == "device":
+        results = _run_regions_device(bam, fasta, chrom, regions, cfg,
+                                      out_dir, chrom_len, num_workers,
+                                      failures, timer)
+    elif num_workers > 1 and len(regions) > 1:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        with timer.stage("regions_host"), \
+                ThreadPoolExecutor(max_workers=num_workers) as ex:
             results = list(ex.map(one, regions))
     else:
-        results = [one(r) for r in regions]
+        with timer.stage("regions_host"):
+            results = [one(r) for r in regions]
     # per-region isolation must not mask a systemic fault (e.g. the device
     # backend failing to initialize): every attempted region failing means
     # an empty VCF would silently look like "no SVs" -- fail loudly instead
@@ -155,6 +251,15 @@ def process_chromosome(
         raise RuntimeError(
             f"{chrom}: all {len(failures)} regions failed "
             f"(first: {failures[0]}); see log for tracebacks")
+    def _dump_stage_times():
+        if out_dir:
+            try:
+                log_dir = os.path.join(out_dir, "log")
+                os.makedirs(log_dir, exist_ok=True)
+                timer.dump(os.path.join(log_dir, "stage_times.json"))
+            except Exception:
+                logger.exception("failed writing stage_times.json")
+
     for rres in results:
         if rres is None:
             continue
@@ -164,42 +269,48 @@ def process_chromosome(
                 chrom, len(regions), len(candidates))
     if not candidates:
         res.seconds = time.perf_counter() - t0
+        _dump_stage_times()
         return res
     # chromosome-level read-signature scan (FP-filter + step-5 evidence +
     # draft VCF for CLR/ONT GT imputation); native C++ scanner when available
     from focalsv_tpu.scan.read_scan import (cluster_signatures,
                                             normalize_scan_result)
-    chrom_ref = fasta.fetch(chrom)
-    scan = _native_chrom_scan(bam, chrom, cfg)
-    if scan is None:
-        _, scan = scan_chromosome(bam.fetch(chrom, 0, chrom_len), chrom,
-                                  cfg.read_scan, genotype=False)
-    # canonicalize signature coordinates ONCE; the FP filter, the draft
-    # calls, and the refinement stack all see normalized positions
-    normalize_scan_result(scan, chrom_ref)
-    calls = cluster_signatures(scan.del_sigs, chrom, "DEL",
-                               cfg.read_scan, scan, True)
-    calls += cluster_signatures(scan.ins_sigs, chrom, "INS",
-                                cfg.read_scan, scan, True)
-    calls.sort(key=lambda c: c.pos)
-    draft = calls_to_vcf(calls, chrom_ref, 0)
+    with timer.stage("read_scan"):
+        chrom_ref = fasta.fetch(chrom)
+        scan = _native_chrom_scan(bam, chrom, cfg)
+        if scan is None:
+            _, scan = scan_chromosome(bam.fetch(chrom, 0, chrom_len), chrom,
+                                      cfg.read_scan, genotype=False)
+        # canonicalize signature coordinates ONCE; the FP filter, the draft
+        # calls, and the refinement stack all see normalized positions
+        normalize_scan_result(scan, chrom_ref)
+        calls = cluster_signatures(scan.del_sigs, chrom, "DEL",
+                                   cfg.read_scan, scan, True)
+        calls += cluster_signatures(scan.ins_sigs, chrom, "INS",
+                                    cfg.read_scan, scan, True)
+        calls.sort(key=lambda c: c.pos)
+        draft = calls_to_vcf(calls, chrom_ref, 0)
     from focalsv_tpu.signatures.sigs import Sigs
-    sig_rows = []
-    names: list[str] = []
-    for svt, sigs in ((0, scan.del_sigs), (1, scan.ins_sigs)):
-        for s in sigs:
-            sig_rows.append(dict(svtype=svt, pos=s.pos, svlen=s.length,
-                                 contig=0, rstart=0, rend=1, strand=0,
-                                 source=0, mapq=60))
-    read_sigs = Sigs.from_rows(sig_rows, names)
-    kept, dropped = fp_filter_records(candidates, read_sigs, cfg.fp_filter)
-    # cross-region dedup
-    kept, removed = dedup_records(kept, cfg.dedup)
+    with timer.stage("fp_filter_dedup"):
+        sig_rows = []
+        names: list[str] = []
+        for svt, sigs in ((0, scan.del_sigs), (1, scan.ins_sigs)):
+            for s in sigs:
+                sig_rows.append(dict(svtype=svt, pos=s.pos, svlen=s.length,
+                                     contig=0, rstart=0, rend=1, strand=0,
+                                     source=0, mapq=60))
+        read_sigs = Sigs.from_rows(sig_rows, names)
+        kept, dropped = fp_filter_records(candidates, read_sigs,
+                                          cfg.fp_filter)
+        # cross-region dedup
+        kept, removed = dedup_records(kept, cfg.dedup)
     # step-5 refinement
     if refine:
-        kept, cov_dropped = refine_records(kept, scan, draft, cfg)
+        with timer.stage("refine"):
+            kept, cov_dropped = refine_records(kept, scan, draft, cfg)
     res.records = kept
     res.seconds = time.perf_counter() - t0
+    _dump_stage_times()
     logger.info("%s: %d final SVs (%.1fs)", chrom, len(kept), res.seconds)
     return res
 

@@ -86,8 +86,27 @@ def process_region(
     res.usable_reads = usable
     res.phase_hp, res.phase_ps = pr.hp, pr.ps
     res.contigs_hp1, res.contigs_hp2 = hp1, hp2
+    finish_region_result(res, reads, ref_codes, region_start, chrom, cfg,
+                         apply_fp_filter)
+    return res
+
+
+def finish_region_result(
+    res: RegionResult,
+    reads: list[bamio.BamRecord],
+    ref_codes: np.ndarray,
+    region_start: int,
+    chrom: str,
+    cfg: PipelineConfig,
+    apply_fp_filter: bool = True,
+) -> None:
+    """Steps 3-4 for a region whose contigs are already on ``res``: align the
+    contigs and call variants, then FP-filter/dedup.  Shared by the host
+    per-region path above and the device-batched path
+    (pipeline/device_exec.py), so the two execution modes cannot drift."""
+    hp1, hp2 = res.contigs_hp1, res.contigs_hp2
     if not hp1 and not hp2:
-        return res
+        return
     # 3. align contigs + call variants
     records = call_region_variants(hp1, hp2, ref_codes, region_start, chrom, cfg)
     # 4. refine: read-signature support filter + dedup
@@ -102,4 +121,3 @@ def process_region(
         records, removed = dedup_records(records, cfg.dedup)
         res.dropped.extend(removed)
     res.records = records
-    return res

@@ -1,0 +1,143 @@
+"""Bit-parity contract between the host per-region path and the
+device-batched execution path (pipeline/device_exec.py).
+
+The device region step (parallel/region_step.py) must reproduce the host
+phasing + consensus byte-for-byte for single-block regions; multi-block
+regions must transparently fall back to the host path.  process_chromosome
+in "device" mode must emit exactly the records of "host" mode.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from focalsv_tpu.config import preset
+from focalsv_tpu.pipeline import device_exec as dx
+from focalsv_tpu.pipeline.region import process_region
+from focalsv_tpu.testing import simulate as sim
+
+
+def _mk_regions(dtype: str):
+    kw = dict(sub_rate=0.001)
+    if dtype == "CLR":
+        kw = dict(sub_rate=0.04, ins_rate=0.04, del_rate=0.02)
+    elif dtype == "ONT":
+        kw = dict(sub_rate=0.03, ins_rate=0.02, del_rate=0.03)
+    regions = []
+    for i in range(6):
+        regions.append(sim.simulate_region(
+            seed=7000 + i, ref_len=9000, coverage=18, n_snps=10,
+            read_len_mean=4000, **kw))
+    # one all-unphased region (no SNPs) and one with no SVs
+    regions.append(sim.simulate_region(seed=7100, ref_len=6000, coverage=12,
+                                       n_snps=0, read_len_mean=3000, **kw))
+    regions.append(sim.simulate_region(seed=7101, ref_len=6000, coverage=12,
+                                       n_snps=8, read_len_mean=3000, svs=[],
+                                       **kw))
+    return regions
+
+
+def _device_results(regions, cfg):
+    tiles = [dx.build_tile(rg.reads, rg.ref, 0, rg.chrom, cfg)
+             for rg in regions]
+    dev_outs = dx.run_device_step(tiles, cfg)
+    return [dx.process_region_device(t, dev_outs.get(i), cfg,
+                                     apply_fp_filter=True)
+            for i, t in enumerate(tiles)]
+
+
+def _assert_region_equal(h, d, label):
+    np.testing.assert_array_equal(h.phase_hp, d.phase_hp, err_msg=label)
+    np.testing.assert_array_equal(h.phase_ps, d.phase_ps, err_msg=label)
+    assert sorted(h.contigs_hp1) == sorted(d.contigs_hp1), label
+    assert sorted(h.contigs_hp2) == sorted(d.contigs_hp2), label
+    for name in h.contigs_hp1:
+        np.testing.assert_array_equal(h.contigs_hp1[name],
+                                      d.contigs_hp1[name], err_msg=label)
+    for name in h.contigs_hp2:
+        np.testing.assert_array_equal(h.contigs_hp2[name],
+                                      d.contigs_hp2[name], err_msg=label)
+    hrec = [(r.pos, r.ref, r.alt, r.gt) for r in h.records]
+    drec = [(r.pos, r.ref, r.alt, r.gt) for r in d.records]
+    assert hrec == drec, label
+
+
+@pytest.mark.parametrize("dtype", ["HIFI", "CLR", "ONT"])
+def test_device_host_parity(dtype):
+    cfg = preset(dtype)
+    regions = _mk_regions(dtype)
+    host = [process_region(rg.reads, rg.ref, 0, rg.chrom, cfg)
+            for rg in regions]
+    dev = _device_results(regions, cfg)
+    n_sv = 0
+    for i, (h, d) in enumerate(zip(host, dev)):
+        _assert_region_equal(h, d, f"{dtype} region {i}")
+        n_sv += len(h.records)
+    assert n_sv > 0   # the parity must be exercised on real SV calls
+
+
+def test_multiblock_fallback_matches_host():
+    """A coverage gap splits the het sites into two phase blocks; the device
+    path must detect the multi-block structure and reproduce the host result
+    via fallback."""
+    cfg = preset("HIFI")
+    rg = sim.simulate_region(seed=7200, ref_len=16000, coverage=20,
+                             n_snps=16, read_len_mean=3000)
+    # carve out the middle third of the reads to disconnect the blocks
+    reads = [r for r in rg.reads
+             if r.reference_end < 7000 or r.pos > 9500]
+    host = process_region(reads, rg.ref, 0, rg.chrom, cfg)
+    tile = dx.build_tile(reads, rg.ref, 0, rg.chrom, cfg)
+    dev_outs = dx.run_device_step([tile], cfg)
+    dres = dx.process_region_device(tile, dev_outs.get(0), cfg,
+                                    apply_fp_filter=True)
+    if host.n_blocks > 1:
+        assert dx.finish_tile(tile, dev_outs[0], cfg) is None
+    _assert_region_equal(host, dres, "multiblock")
+
+
+def test_process_chromosome_device_matches_host(tmp_path):
+    import focalsv_tpu.io.bam as bamio
+    from focalsv_tpu.io.bed import Region
+    from focalsv_tpu.io.fasta import FastaFile, write_fasta
+    from focalsv_tpu.pipeline.main import process_chromosome
+
+    cfg = preset("HIFI")
+    L = 8000
+    chrom_parts = []
+    regions = []
+    rng_regions = [sim.simulate_region(seed=7300 + i, ref_len=L, coverage=16,
+                                       n_snps=8, read_len_mean=3500)
+                   for i in range(3)]
+    chrom_ref = np.concatenate([rg.ref for rg in rng_regions])
+    bam_path = str(tmp_path / "reads.bam")
+    w = bamio.BamWriter(bam_path, ["chr21"], [len(chrom_ref)])
+    recs = []
+    for i, rg in enumerate(rng_regions):
+        for rec in rg.reads:
+            recs.append(dataclasses.replace(rec, pos=rec.pos + i * L))
+        regions.append(Region("chr21", i * L + 100, (i + 1) * L - 100))
+    recs.sort(key=lambda r: r.pos)
+    for rec in recs:
+        w.write(rec)
+    w.close()
+    bamio.build_bai(bam_path)
+    fa_path = str(tmp_path / "ref.fa")
+    write_fasta(fa_path, [("chr21", chrom_ref)])
+    bam = bamio.ensure_indexed(bam_path)
+    fasta = FastaFile.load(fa_path)
+
+    out_h = process_chromosome(
+        bam, fasta, "chr21", regions,
+        cfg.replace(execution=dataclasses.replace(cfg.execution,
+                                                  mode="host")),
+        out_dir=str(tmp_path / "host"), num_workers=2)
+    out_d = process_chromosome(
+        bam, fasta, "chr21", regions, cfg,
+        out_dir=str(tmp_path / "dev"), num_workers=2)
+    hrec = [(r.pos, r.ref, r.alt, r.gt) for r in out_h.records]
+    drec = [(r.pos, r.ref, r.alt, r.gt) for r in out_d.records]
+    assert hrec == drec and len(hrec) > 0
+    # the device mode must produce the stage-timing artifact
+    assert (tmp_path / "dev" / "log" / "stage_times.json").exists()

@@ -103,12 +103,13 @@ def test_single_region_mode(genome, tmp_path):
 def test_all_regions_failing_raises(genome, tmp_path, monkeypatch):
     """A systemic fault (every region throwing, e.g. device init failure)
     must fail loudly, not emit an empty 'no SVs' VCF."""
-    from focalsv_tpu.pipeline import main as pipeline_main
+    from focalsv_tpu.pipeline import device_exec, main as pipeline_main
 
     def boom(*a, **kw):
         raise RuntimeError("device init failed")
 
     monkeypatch.setattr(pipeline_main, "process_region", boom)
+    monkeypatch.setattr(device_exec, "build_tile", boom)
     with pytest.raises(RuntimeError, match="all .* regions failed"):
         pipeline_main.run_target_mode(
             genome["bam"], genome["ref"], str(tmp_path / "out"),

@@ -1,12 +1,10 @@
 import numpy as np
-import pytest
 
-from focalsv_tpu.config import DataType, preset
+from focalsv_tpu.config import preset
 from focalsv_tpu.parallel import mesh as pmesh
 from focalsv_tpu.parallel.region_step import (
-    phase_consensus_batch, sharded_phase_consensus,
+    phase_consensus_batch, phase_consensus_kwargs, sharded_phase_consensus,
 )
-from focalsv_tpu.phasing.phase import pileup_matrix
 from focalsv_tpu.assembly.consensus import pileup_with_dels
 from focalsv_tpu.testing import simulate as sim
 
@@ -29,8 +27,10 @@ def test_phase_consensus_batch_recovers_haplotypes():
                                    n_snps=15, read_len_mean=5_000,
                                    svs=[]) for i in range(4)]
     mat, valid = _tiles(regions, L)
-    out = phase_consensus_batch(mat, valid, max_sites=32, mec_iters=15)
-    site_pos, site_valid, hp, s1, cov1, s2, cov2 = [np.asarray(x) for x in out]
+    kw = phase_consensus_kwargs(preset("HIFI").phasing)
+    kw.update(max_sites=32, mec_iters=15)
+    out = phase_consensus_batch(mat, valid, **kw)
+    site_pos, n_sites, A, hp, sym, cov = [np.asarray(x) for x in out]
     for g, rg in enumerate(regions):
         truth = np.array(rg.read_hap)
         h = hp[g, : len(rg.reads)]
@@ -38,15 +38,43 @@ def test_phase_consensus_batch_recovers_haplotypes():
         assert phased.mean() > 0.6, f"region {g}: only {phased.mean()} phased"
         agree = (h[phased] - 1 == truth[phased]).mean()
         assert max(agree, 1 - agree) > 0.9, f"region {g} agreement {agree}"
-        # consensus columns: where covered, hap consensus must match one
-        # haplotype's base (SNP positions differ between haps)
+        assert int(n_sites[g]) > 0
+        # valid sites are ascending genome positions
+        sp = site_pos[g, : int(n_sites[g])]
+        assert (np.diff(sp) > 0).all()
+        # consensus columns: where covered, hap consensus must match the
+        # reference in most columns (no SVs simulated)
         ref = rg.ref
-        covered = cov1[g] > 3
-        sym = s1[g]
-        base_cols = covered & (sym < 4)
-        # majority of covered columns match the reference (no SVs simulated)
-        match_frac = (sym[base_cols] == ref[np.nonzero(base_cols)[0]]).mean()
+        covered = cov[g, 0] > 3
+        s1 = sym[g, 0]
+        base_cols = covered & (s1 < 4)
+        match_frac = (s1[base_cols] == ref[np.nonzero(base_cols)[0]]).mean()
         assert match_frac > 0.95
+
+
+def test_device_phasing_matches_host_reference():
+    """The device step's het sites, allele matrix, hp and consensus must
+    bit-match the host implementations (the device_exec parity contract,
+    checked here at the kernel level)."""
+    from focalsv_tpu.phasing import phase as ph
+
+    cfg = preset("HIFI").phasing
+    L = 8_000
+    regions = [sim.simulate_region(seed=900 + i, ref_len=L, coverage=16,
+                                   n_snps=10, read_len_mean=4_000)
+               for i in range(3)]
+    mat, valid = _tiles(regions, L)
+    out = phase_consensus_batch(mat, valid, **phase_consensus_kwargs(cfg))
+    site_pos, n_sites, A, hp, sym, cov = [np.asarray(x) for x in out]
+    for g, rg in enumerate(regions):
+        pr = ph.phase_region(rg.reads, rg.ref, 0, cfg)
+        S = int(n_sites[g])
+        np.testing.assert_array_equal(
+            site_pos[g, :S], pr.site_positions,
+            err_msg=f"region {g} het sites")
+        if pr.n_blocks <= 1:
+            np.testing.assert_array_equal(hp[g, : len(rg.reads)], pr.hp,
+                                          err_msg=f"region {g} hp")
 
 
 def test_sharded_region_step():
@@ -56,8 +84,9 @@ def test_sharded_region_step():
                for i in range(8)]
     mat, valid = _tiles(regions, L)
     mesh = pmesh.make_mesh()
-    out_sharded = sharded_phase_consensus(mat, valid, mesh, max_sites=16,
-                                          mec_iters=10)
-    out_local = phase_consensus_batch(mat, valid, max_sites=16, mec_iters=10)
+    kw = phase_consensus_kwargs(preset("HIFI").phasing)
+    kw.update(max_sites=16, mec_iters=10)
+    out_sharded = sharded_phase_consensus(mat, valid, mesh, **kw)
+    out_local = phase_consensus_batch(mat, valid, **kw)
     for a, b in zip(out_sharded, out_local):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
