@@ -301,12 +301,36 @@ class Aligner:
             aln = self._chain_to_alignment(q, q_rc, ch, q_name)
             aln.is_supplementary = idx > 0
             out.append(aln)
-        # mapq from score ratio of top two chains
-        if len(out) >= 2 and out[0].score > 0:
-            ratio = max(0.0, 1.0 - max(out[1].score, 0) / out[0].score)
-            out[0].mapq = int(min(60, 60 * ratio + 6))
-        for a in out[1:]:
-            a.mapq = min(a.mapq, 30)
+        # mapq per segment from the score ratio against its best
+        # QUERY-OVERLAPPING competitor (minimap2 semantics): segments of a
+        # chimeric/split alignment cover disjoint query intervals, compete
+        # with nothing, and keep a high mapq -- a blanket supplementary cap
+        # would kill the split-signature SV route downstream
+        # (signatures/contig.py gates split geometry at min_mapq_split=50,
+        # mirroring reference CCS :680 where minimap2 supplies real mapqs)
+        def q_iv(a: Alignment) -> tuple[int, int]:
+            # aligned query interval on the ORIGINAL strand
+            if a.strand:
+                return a.q_len - a.q_end, a.q_len - a.q_start
+            return a.q_start, a.q_end
+
+        # ratio over CHAIN scores (always positive), not DP scores: a clean
+        # alignment containing one huge indel has a negative affine score but
+        # an unambiguous placement
+        ivs = [q_iv(a) for a in out]
+        for i, a in enumerate(out):
+            s1 = max(float(chains[i].score), 1.0)
+            best2 = float(chains[i].sub_score)
+            for j, b in enumerate(out):
+                if j == i:
+                    continue
+                olp = min(ivs[i][1], ivs[j][1]) - max(ivs[i][0], ivs[j][0])
+                shorter = max(1, min(ivs[i][1] - ivs[i][0],
+                                     ivs[j][1] - ivs[j][0]))
+                if olp > 0.5 * shorter:
+                    best2 = max(best2, float(chains[j].score))
+            ratio = max(0.0, 1.0 - best2 / s1)
+            a.mapq = int(min(60, 60 * ratio + 6))
         return out
 
     def to_bam_record(self, aln: Alignment, query: np.ndarray,

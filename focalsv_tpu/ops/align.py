@@ -395,7 +395,7 @@ def banded_align_pair(q, t, band=256, match=2, mismatch=-4, gap_open=-4,
     d_lo = int(np.clip(d_lo, len(t) - len(q) - band + 1, 0))
     from focalsv_tpu.parallel import batch_executor
     batcher = batch_executor.get_active()
-    if batcher is not None:
+    if batcher is not None and not batcher.route_native(len(q) * band):
         score, dirs = batcher.align(q, t, band, match, mismatch,
                                     gap_open, gap_extend, d_lo)
         cig = traceback(np.asarray(dirs), len(q), len(t), d_lo)

@@ -22,6 +22,9 @@ class Chain:
     anchors: np.ndarray     # (n, 2) int64 (t_pos, q_pos), increasing
     score: float
     rel_strand: int         # 0 fwd, 1 query-revcomp
+    # best score among chains masked away for covering this chain's query
+    # span (the minimap2 "secondary score" that drives mapq)
+    sub_score: float = 0.0
 
 
 def _gap_cost(dq: np.ndarray, dt: np.ndarray, avg_seed: int) -> np.ndarray:
@@ -88,15 +91,19 @@ def chain_anchors(
     kept: list[Chain] = []
     for c in chains:
         qs, qe = _q_span(c, k, q_len)
-        ok = True
+        blocked_by = None
         for kc in kept:
             ks_, ke_ = _q_span(kc, k, q_len)
             olp = min(qe, ke_) - max(qs, ks_)
             if olp > mask_level * (qe - qs):
-                ok = False
+                blocked_by = kc
                 break
-        if ok:
+        if blocked_by is None:
             kept.append(c)
+        else:
+            # record the masked competitor: an equally-good alternative
+            # placement must push the kept chain's mapq down
+            blocked_by.sub_score = max(blocked_by.sub_score, c.score)
         if len(kept) >= max_chains:
             break
     return kept
@@ -170,9 +177,10 @@ def _join_colinear(chains: list[Chain], k: int, q_len: int | None,
                         if not covered:
                             p.anchors = np.concatenate([p.anchors, a[keep]])
                             p.score += c.score
+                            p.sub_score = max(p.sub_score, c.sub_score)
                             continue
             merged.append(Chain(anchors=c.anchors.copy(), score=c.score,
-                                rel_strand=rel))
+                                rel_strand=rel, sub_score=c.sub_score))
         out.extend(merged)
     return out
 
@@ -228,11 +236,14 @@ def _chain_one_strand(sub, k, max_pred, max_gap, min_score, min_anchors,
             continue
         # drop near-duplicate subpaths: a chain mostly inside an already
         # extracted chain's query span is a redundant side-path, and must not
-        # consume the max_chains budget (it would shadow real split chains)
+        # consume the max_chains budget (it would shadow real split chains).
+        # Its score still counts as the covering chain's secondary score --
+        # an equally-good alternative placement must depress mapq.
         qs, qe = float(q[path[0]]), float(q[path[-1]]) + k
-        contained = any(min(qe, ke) - max(qs, ks) > 0.5 * (qe - qs)
-                        for ks, ke in kept_spans)
-        if contained:
+        owner = next((ci for ci, (ks, ke) in enumerate(kept_spans)
+                      if min(qe, ke) - max(qs, ks) > 0.5 * (qe - qs)), None)
+        if owner is not None:
+            chains[owner].sub_score = max(chains[owner].sub_score, score)
             continue
         kept_spans.append((qs, qe))
         chains.append(Chain(anchors=a[path].astype(np.int64),

@@ -44,15 +44,36 @@ class _Job:
     dirs: np.ndarray | None = None
 
 
+# assumed native banded-DP throughput for the latency/compute routing
+# decision (conservative; the C++ kernel measures higher)
+NATIVE_CELLS_PER_SEC = 2e8
+
+
 class DPBatcher:
-    def __init__(self, max_batch: int = 128, max_wait_ms: float = 2.0):
+    def __init__(self, max_batch: int = 128, max_wait_ms: float = 2.0,
+                 init_rt_ms: float | None = None):
+        import os
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.q: queue.Queue[_Job | None] = queue.Queue()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.n_batches = 0
         self.n_jobs = 0
+        # EMA of the device batch round-trip, seconds.  Jobs whose native
+        # compute time undercuts the round-trip run on the host instead:
+        # on a PCIe-attached chip (~sub-ms) nearly everything batches to the
+        # device; over a high-latency tunnel small gap DPs stay native
+        # (measured: 18.2s vs 0.35s for a region batch when forcing every
+        # small DP through a tunneled device).
+        if init_rt_ms is None:
+            init_rt_ms = float(os.environ.get("FOCALSV_DP_RT_MS", "5.0"))
+        self.rt_ema = init_rt_ms / 1000.0
+        self._pin_rt = init_rt_ms == 0.0   # 0 pins routing to the device
         self.thread.start()
+
+    def route_native(self, cells: int) -> bool:
+        """True when the host kernel beats a device round-trip for this job."""
+        return cells / NATIVE_CELLS_PER_SEC < self.rt_ema
 
     # -- worker side --------------------------------------------------------
 
@@ -103,6 +124,7 @@ class DPBatcher:
                         self._run_batch(jobs)
 
     def _run_batch(self, jobs: list[_Job]):
+        import time
         (Lq, Lt, band, match, mismatch, gap_open, gap_extend) = jobs[0].key
         B = len(jobs)
         q = np.stack([j.q for j in jobs])
@@ -111,12 +133,18 @@ class DPBatcher:
         t_len = np.array([j.t_len for j in jobs], np.int32)
         d_lo = np.array([j.d_lo for j in jobs], np.int32)
         try:
+            t0 = time.perf_counter()
             scores, dirs = alignops.banded_align(
                 q, q_len, t, t_len, d_lo, band=band, match=match,
                 mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
                 store_dirs=True)
             scores = np.asarray(scores)
             dirs = np.asarray(dirs)
+            rt = time.perf_counter() - t0
+            # first batch per shape includes the XLA compile -- don't let it
+            # poison the round-trip estimate
+            if self.n_batches > 0 and not self._pin_rt:
+                self.rt_ema = 0.7 * self.rt_ema + 0.3 * rt
             for i, j in enumerate(jobs):
                 j.score = int(scores[i])
                 j.dirs = dirs[i]
@@ -143,12 +171,17 @@ def get_active() -> DPBatcher | None:
 
 
 @contextlib.contextmanager
-def dp_batching(max_batch: int = 128, max_wait_ms: float = 2.0):
-    """Activate cross-thread DP batching for the enclosed block."""
+def dp_batching(max_batch: int = 128, max_wait_ms: float = 2.0,
+                init_rt_ms: float | None = None):
+    """Activate cross-thread DP batching for the enclosed block.
+
+    init_rt_ms seeds the round-trip estimate that routes small jobs to the
+    native host kernel (0 forces everything through the device batch)."""
     global _active
     with _lock:
         prev = _active
-        batcher = DPBatcher(max_batch=max_batch, max_wait_ms=max_wait_ms)
+        batcher = DPBatcher(max_batch=max_batch, max_wait_ms=max_wait_ms,
+                            init_rt_ms=init_rt_ms)
         _active = batcher
     try:
         yield batcher

@@ -52,11 +52,34 @@ def host_vcf_path(out_dir: str, process_index: int) -> str:
 
 
 def merge_host_vcfs(out_dir: str, process_count: int,
-                    final_path: str | None = None) -> str:
-    """Host-0 merge of every host's shard VCF (the cat|vcf-sort analog)."""
+                    final_path: str | None = None,
+                    timeout_s: float = 1800.0,
+                    poll_s: float = 0.5) -> str:
+    """Host-0 merge of every host's shard VCF (the cat|vcf-sort analog).
+
+    This is the MERGE BARRIER: host 0 waits (bounded) for every peer's
+    atomically-renamed host*.vcf before merging.  A missing host after the
+    timeout raises with the missing hosts named -- a straggler's calls must
+    never be silently dropped from the genome-wide VCF (reference analog:
+    the per-chromosome SLURM jobs all write before the manual cat|vcf-sort,
+    README.md:207-213).
+    """
+    import time
+
     from focalsv_tpu.io.vcf import merge_vcfs
     paths = [host_vcf_path(out_dir, i) for i in range(process_count)]
-    paths = [p for p in paths if os.path.exists(p)]
+    deadline = time.monotonic() + timeout_s
+    while True:
+        missing = [p for p in paths if not os.path.exists(p)]
+        if not missing:
+            break
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"merge barrier timed out after {timeout_s:.0f}s: "
+                f"{len(missing)}/{process_count} host VCFs missing "
+                f"({', '.join(os.path.basename(m) for m in missing)}); "
+                "refusing to emit a partial genome-wide VCF")
+        time.sleep(poll_s)
     final_path = final_path or os.path.join(out_dir, "FocalSV_Final_SV.vcf")
     merge_vcfs(paths, final_path)
     return final_path

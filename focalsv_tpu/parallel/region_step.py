@@ -23,6 +23,11 @@ tests/test_device_pipeline.py enforces.  Ragged work (insertion consensus,
 phase-block splits, contig stitching) stays host-side in
 pipeline/device_exec.py.
 
+Transfer format (the production link may be a tunneled remote device, so
+bytes-on-the-wire matter): tiles ship as packed 4-bit symbols (pack_nibbles)
+and results come back as ONE flat uint8 buffer per region (flat_layout) with
+the consensus coverage as a packed bitmask.
+
 Reference contrast: this step replaces the per-region longshot + hifiasm
 process launches of focalsv/main.py:104-155 with one compiled kernel over a
 batch of regions.
@@ -34,19 +39,164 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NOCOV = 255
 DEL_SYM = 254
 
+# 4-bit pileup symbol codec: halves the host->device bytes of a region tile
+# (the dominant transfer).  {A,C,G,T,N} -> 0..4, DEL -> 5, NOCOV -> 15.
+NIB_MAP = np.full(256, 15, np.uint8)
+NIB_MAP[:5] = np.arange(5)
+NIB_MAP[DEL_SYM] = 5
+_NIB_INV = np.full(16, NOCOV, np.uint8)
+_NIB_INV[:5] = np.arange(5)
+_NIB_INV[5] = DEL_SYM
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "max_sites", "mec_iters", "min_site_depth", "min_minor_count",
-        "lo_num", "lo_den", "hi_num", "hi_den",
-        "purify_window", "purify_min_pairs", "purify_num", "purify_den",
-    ),
+
+def pack_nibbles(mat: np.ndarray) -> np.ndarray:
+    """(R, L) uint8 pileup -> (R, ceil(L/2)) packed nibbles (host side)."""
+    nib = NIB_MAP[mat]
+    if nib.shape[1] % 2:
+        nib = np.concatenate(
+            [nib, np.full((nib.shape[0], 1), 15, np.uint8)], axis=1)
+    return (nib[:, ::2] | (nib[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _unpack_nibbles(packed: jax.Array, L: int) -> jax.Array:
+    """(..., L/2) packed -> (..., L) uint8 pileup symbols (device side)."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    m = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)[..., :L]
+    return jnp.asarray(_NIB_INV)[m]
+
+
+def _one_region(
+    m, rv, *,
+    max_sites, mec_iters, min_site_depth, min_minor_count,
+    lo_num, lo_den, hi_num, hi_den,
+    purify_window, purify_min_pairs, purify_num, purify_den,
+):
+    """One region's phasing + consensus; see the module docstring.
+
+    Returns (site_pos (S,) i32, n_sites () i32, A (R,S) i8, hp (R,) i8,
+    sym (2,L) u8, covered (2,L) bool).
+    """
+    R, L = m.shape
+    S = max_sites
+    # --- het-site detection (phasing view: only base codes 0..3 vote;
+    #     DEL/NOCOV symbols 254/255 fall out of the == tests) ----------
+    counts = jnp.stack(
+        [(m == b).sum(0, dtype=jnp.int32) for b in range(4)], axis=1)
+    depth = counts.sum(1)
+    a0 = jnp.argmax(counts, axis=1)
+    onehot0 = jax.nn.one_hot(a0, 4, dtype=jnp.bool_)
+    masked = jnp.where(onehot0, -1, counts)
+    a1 = jnp.argmax(masked, axis=1)
+    top1 = jnp.max(masked, axis=1)            # minor-allele count
+    n0 = jnp.max(counts, axis=1)              # major-allele count
+    is_het = (
+        (depth >= max(min_site_depth, 1))
+        & (top1 * lo_den >= depth * lo_num)
+        & (top1 * hi_den <= depth * hi_num)
+        & (top1 >= min_minor_count)
+    )
+    # balance-ranked selection: f32 ratio, top_k ties -> lowest column
+    bal = jnp.where(
+        is_het,
+        top1.astype(jnp.float32) / jnp.maximum(n0 + top1, 1).astype(jnp.float32),
+        jnp.float32(-1.0))
+    vals, idx = jax.lax.top_k(bal, S)
+    sel = vals > 0
+    # order selected sites by position (invalid pinned stably to the tail)
+    pos_key = jnp.where(sel, idx, L + jnp.arange(S, dtype=jnp.int32))
+    order = jnp.argsort(pos_key)
+    site_pos = jnp.take(idx, order).astype(jnp.int32)
+    sel = jnp.take(sel, order)
+    sa0 = a0[site_pos].astype(jnp.uint8)
+    sa1 = a1[site_pos].astype(jnp.uint8)
+    sub = m[:, site_pos]
+    A = jnp.where(sub == sa0[None, :], 0,
+                  jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)
+    A = jnp.where(sel[None, :] & rv[:, None], A, jnp.int8(-1))
+
+    # --- purification (integer 3-sigma co-phasing test) ---------------
+    covA = A >= 0
+    passed = jnp.zeros(S, bool)
+    for d in range(1, min(purify_window, S - 1) + 1):
+        both = covA[:, :-d] & covA[:, d:]
+        n = both.sum(0, dtype=jnp.int32)
+        same = ((A[:, :-d] == A[:, d:]) & both).sum(0, dtype=jnp.int32)
+        dev = jnp.abs(2 * same - n)
+        ok = ((n >= purify_min_pairs)
+              & (dev * purify_den >= n * purify_num)
+              & (dev * dev >= 9 * n))
+        passed = passed | jnp.pad(ok, (0, d)) | jnp.pad(ok, (d, 0))
+    n_het = sel.sum()
+    passed = jnp.where(n_het >= 2, passed, sel)  # <2 sites: purify is a no-op
+    new_valid = sel & passed
+    # re-compact (valid sites keep ascending position order)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    order2 = jnp.argsort(jnp.where(new_valid, slot, S + slot))
+    A = jnp.take(A, order2, axis=1)
+    site_pos = jnp.take(site_pos, order2)
+    new_valid = jnp.take(new_valid, order2)
+    A = jnp.where(new_valid[None, :], A, jnp.int8(-1))
+    n_sites = new_valid.sum().astype(jnp.int32)
+
+    # --- MEC phasing ---------------------------------------------------
+    covA = A >= 0
+    # chained adjacent-site parity init as a cumulative XOR
+    both = covA[:, :-1] & covA[:, 1:]
+    nb = both.sum(0, dtype=jnp.int32)
+    same = ((A[:, :-1] == A[:, 1:]) & both).sum(0, dtype=jnp.int32)
+    flip = ((nb > 0) & (same < nb - same)).astype(jnp.int32)
+    h = (jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(flip)])
+         % 2).astype(jnp.int8)
+
+    def it(_, h):
+        agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
+        disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
+        assign = jnp.where(agree >= disagree, 0, 1)
+        hap1 = (assign == 0)[:, None] & covA
+        hap2 = (assign == 1)[:, None] & covA
+        v1 = ((A == 1) & hap1).sum(0, dtype=jnp.int32) + \
+             ((A == 0) & hap2).sum(0, dtype=jnp.int32)
+        v0 = ((A == 0) & hap1).sum(0, dtype=jnp.int32) + \
+             ((A == 1) & hap2).sum(0, dtype=jnp.int32)
+        return jnp.where(v1 > v0, 1, 0).astype(jnp.int8)
+
+    h = jax.lax.fori_loop(0, mec_iters, it, h)
+    agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
+    disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
+    informative = (agree + disagree) > 0
+    hp = jnp.where(rv & informative,
+                   jnp.where(agree >= disagree, 1, 2), 0).astype(jnp.int8)
+
+    # --- consensus votes per haplotype (unphased reads vote in both) --
+    def vote(mask):
+        use = (mask | (hp == 0)) & rv
+        c = jnp.stack(
+            [((m == b) & use[:, None]).sum(0, dtype=jnp.int32)
+             for b in range(5)]
+            + [((m == DEL_SYM) & use[:, None]).sum(0, dtype=jnp.int32)],
+            axis=1)
+        return jnp.argmax(c, axis=1).astype(jnp.uint8), c.sum(1) > 0
+
+    s1, c1 = vote(hp == 1)
+    s2, c2 = vote(hp == 2)
+    return (site_pos, n_sites, A, hp,
+            jnp.stack([s1, s2]), jnp.stack([c1, c2]))
+
+
+_STATIC_NAMES = (
+    "max_sites", "mec_iters", "min_site_depth", "min_minor_count",
+    "lo_num", "lo_den", "hi_num", "hi_den",
+    "purify_window", "purify_min_pairs", "purify_num", "purify_den",
 )
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
 def phase_consensus_batch(
     mat: jax.Array,          # (G, R, L) uint8 pileup tiles (254=del, 255=nocov)
     read_valid: jax.Array,   # (G, R) bool
@@ -61,127 +211,95 @@ def phase_consensus_batch(
     purify_min_pairs: int = 4,
     purify_num: int = 1, purify_den: int = 2,   # purify min_corr rational
 ):
-    """Returns per region (all leading G axis):
+    """Unpacked-tile entry (tests, dry runs).  Returns per region (leading G
+    axis): site_pos (S,) i32, n_sites i32, A (R,S) i8, hp (R,) i8,
+    sym (2,L) u8, covered (2,L) bool."""
+    kw = dict(
+        max_sites=max_sites, mec_iters=mec_iters,
+        min_site_depth=min_site_depth, min_minor_count=min_minor_count,
+        lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
+        purify_window=purify_window, purify_min_pairs=purify_min_pairs,
+        purify_num=purify_num, purify_den=purify_den)
+    return jax.vmap(lambda m, rv: _one_region(m, rv, **kw))(mat, read_valid)
 
-    - site_pos (S,) int32: het-site columns, purified, ascending; tail junk
-    - n_sites () int32: number of valid leading entries of site_pos / A
-    - A (R, S) int8: purified allele matrix (0/1, -1 = missing), compacted
-    - hp (R,) int8: read haplotype 1/2 (0 = unphased), single-block MEC
-    - sym (2, L) uint8: per-haplotype consensus symbol (argmax of 6 counts)
-    - cov (2, L) int32: per-haplotype consensus vote depth
-    """
 
-    def one(m, rv):
-        R, L = m.shape
-        S = max_sites
-        # --- het-site detection (phasing view: only base codes 0..3 vote;
-        #     DEL/NOCOV symbols 254/255 fall out of the == tests) ----------
-        counts = jnp.stack(
-            [(m == b).sum(0, dtype=jnp.int32) for b in range(4)], axis=1)
-        depth = counts.sum(1)
-        a0 = jnp.argmax(counts, axis=1)
-        onehot0 = jax.nn.one_hot(a0, 4, dtype=jnp.bool_)
-        masked = jnp.where(onehot0, -1, counts)
-        a1 = jnp.argmax(masked, axis=1)
-        top1 = jnp.max(masked, axis=1)            # minor-allele count
-        n0 = jnp.max(counts, axis=1)              # major-allele count
-        is_het = (
-            (depth >= max(min_site_depth, 1))
-            & (top1 * lo_den >= depth * lo_num)
-            & (top1 * hi_den <= depth * hi_num)
-            & (top1 >= min_minor_count)
-        )
-        # balance-ranked selection: f32 ratio, top_k ties -> lowest column
-        bal = jnp.where(
-            is_het,
-            top1.astype(jnp.float32) / jnp.maximum(n0 + top1, 1).astype(jnp.float32),
-            jnp.float32(-1.0))
-        vals, idx = jax.lax.top_k(bal, S)
-        sel = vals > 0
-        # order selected sites by position (invalid pinned stably to the tail)
-        pos_key = jnp.where(sel, idx, L + jnp.arange(S, dtype=jnp.int32))
-        order = jnp.argsort(pos_key)
-        site_pos = jnp.take(idx, order).astype(jnp.int32)
-        sel = jnp.take(sel, order)
-        sa0 = a0[site_pos].astype(jnp.uint8)
-        sa1 = a1[site_pos].astype(jnp.uint8)
-        sub = m[:, site_pos]
-        A = jnp.where(sub == sa0[None, :], 0,
-                      jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)
-        A = jnp.where(sel[None, :] & rv[:, None], A, jnp.int8(-1))
+def flat_layout(R: int, L: int, S: int) -> dict[str, tuple[int, int]]:
+    """Byte offsets of the per-region flat result buffer (device->host is a
+    single array so the transfer is one RPC on tunneled backends)."""
+    off = 0
+    out = {}
+    for name, size in (
+        ("n_sites", 4),
+        ("site_pos", 4 * S),
+        ("hp", R),
+        ("A", R * S),
+        ("sym", 2 * L),
+        ("covbits", 2 * (L // 8)),
+    ):
+        out[name] = (off, off + size)
+        off += size
+    out["__total__"] = (0, off)
+    return out
 
-        # --- purification (integer 3-sigma co-phasing test) ---------------
-        covA = A >= 0
-        passed = jnp.zeros(S, bool)
-        for d in range(1, min(purify_window, S - 1) + 1):
-            both = covA[:, :-d] & covA[:, d:]
-            n = both.sum(0, dtype=jnp.int32)
-            same = ((A[:, :-d] == A[:, d:]) & both).sum(0, dtype=jnp.int32)
-            dev = jnp.abs(2 * same - n)
-            ok = ((n >= purify_min_pairs)
-                  & (dev * purify_den >= n * purify_num)
-                  & (dev * dev >= 9 * n))
-            passed = passed | jnp.pad(ok, (0, d)) | jnp.pad(ok, (d, 0))
-        n_het = sel.sum()
-        passed = jnp.where(n_het >= 2, passed, sel)  # <2 sites: purify is a no-op
-        new_valid = sel & passed
-        # re-compact (valid sites keep ascending position order)
-        slot = jnp.arange(S, dtype=jnp.int32)
-        order2 = jnp.argsort(jnp.where(new_valid, slot, S + slot))
-        A = jnp.take(A, order2, axis=1)
-        site_pos = jnp.take(site_pos, order2)
-        new_valid = jnp.take(new_valid, order2)
-        A = jnp.where(new_valid[None, :], A, jnp.int8(-1))
-        n_sites = new_valid.sum().astype(jnp.int32)
 
-        # --- MEC phasing ---------------------------------------------------
-        covA = A >= 0
-        # chained adjacent-site parity init as a cumulative XOR
-        both = covA[:, :-1] & covA[:, 1:]
-        nb = both.sum(0, dtype=jnp.int32)
-        same = ((A[:, :-1] == A[:, 1:]) & both).sum(0, dtype=jnp.int32)
-        flip = ((nb > 0) & (same < nb - same)).astype(jnp.int32)
-        h = (jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(flip)])
-             % 2).astype(jnp.int8)
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES + ("L",))
+def phase_consensus_batch_packed(
+    packed: jax.Array,       # (G, R, L//2) packed nibbles (pack_nibbles)
+    read_valid: jax.Array,   # (G, R) bool
+    *,
+    L: int,
+    max_sites: int = 512,
+    mec_iters: int = 30,
+    min_site_depth: int = 4,
+    min_minor_count: int = 2,
+    lo_num: int = 1, lo_den: int = 4,
+    hi_num: int = 3, hi_den: int = 4,
+    purify_window: int = 4,
+    purify_min_pairs: int = 4,
+    purify_num: int = 1, purify_den: int = 2,
+):
+    """Production entry: packed 4-bit tiles in, ONE flat uint8 buffer out
+    (layout per flat_layout).  L must be a multiple of 8."""
+    kw = dict(
+        max_sites=max_sites, mec_iters=mec_iters,
+        min_site_depth=min_site_depth, min_minor_count=min_minor_count,
+        lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
+        purify_window=purify_window, purify_min_pairs=purify_min_pairs,
+        purify_num=purify_num, purify_den=purify_den)
 
-        def it(_, h):
-            agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
-            disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
-            assign = jnp.where(agree >= disagree, 0, 1)
-            hap1 = (assign == 0)[:, None] & covA
-            hap2 = (assign == 1)[:, None] & covA
-            v1 = ((A == 1) & hap1).sum(0, dtype=jnp.int32) + \
-                 ((A == 0) & hap2).sum(0, dtype=jnp.int32)
-            v0 = ((A == 0) & hap1).sum(0, dtype=jnp.int32) + \
-                 ((A == 1) & hap2).sum(0, dtype=jnp.int32)
-            return jnp.where(v1 > v0, 1, 0).astype(jnp.int8)
+    def one(p, rv):
+        m = _unpack_nibbles(p, L)
+        site_pos, n_sites, A, hp, sym, cov = _one_region(m, rv, **kw)
+        parts = [
+            jax.lax.bitcast_convert_type(n_sites[None], jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(site_pos, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(hp, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(A, jnp.uint8).reshape(-1),
+            sym.reshape(-1),
+            jnp.packbits(cov.reshape(-1)),
+        ]
+        return jnp.concatenate(parts)
 
-        h = jax.lax.fori_loop(0, mec_iters, it, h)
-        agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
-        disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
-        informative = (agree + disagree) > 0
-        hp = jnp.where(rv & informative,
-                       jnp.where(agree >= disagree, 1, 2), 0).astype(jnp.int8)
+    return jax.vmap(one)(packed, read_valid)
 
-        # --- consensus votes per haplotype (unphased reads vote in both) --
-        def vote(mask):
-            use = (mask | (hp == 0)) & rv
-            c = jnp.stack(
-                [((m == b) & use[:, None]).sum(0, dtype=jnp.int32)
-                 for b in range(5)]
-                + [((m == DEL_SYM) & use[:, None]).sum(0, dtype=jnp.int32)],
-                axis=1)
-            # vote depth fits int16 (reads per tile <= 1024, 6 symbol bins);
-            # halves the device->host bytes of the cov plane
-            return (jnp.argmax(c, axis=1).astype(jnp.uint8),
-                    c.sum(1).astype(jnp.int16))
 
-        s1, c1 = vote(hp == 1)
-        s2, c2 = vote(hp == 2)
-        return (site_pos, n_sites, A, hp,
-                jnp.stack([s1, s2]), jnp.stack([c1, c2]))
+def unflatten_result(buf: np.ndarray, R: int, L: int, S: int) -> tuple:
+    """Host-side decode of one region's flat buffer -> the unpacked tuple
+    (site_pos, n_sites, A, hp, sym, covered)."""
+    lay = flat_layout(R, L, S)
 
-    return jax.vmap(one)(mat, read_valid)
+    def seg(name):
+        a, b = lay[name]
+        return buf[a:b]
+
+    n_sites = int(seg("n_sites").view(np.int32)[0])
+    site_pos = seg("site_pos").view(np.int32)
+    hp = seg("hp").view(np.int8)
+    A = seg("A").view(np.int8).reshape(R, S)
+    sym = seg("sym").reshape(2, L)
+    covered = np.unpackbits(seg("covbits").reshape(2, L // 8),
+                            axis=1).astype(bool)
+    return site_pos, n_sites, A, hp, sym, covered
 
 
 def phase_consensus_kwargs(phasing_cfg) -> dict:
@@ -212,3 +330,19 @@ def sharded_phase_consensus(mat, read_valid, mesh, **kw):
         check_vma=False,
     )
     return fn(mat, read_valid)
+
+
+def sharded_phase_consensus_packed(packed, read_valid, mesh, *, L, **kw):
+    """phase_consensus_batch_packed sharded over the mesh's regions axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from focalsv_tpu.parallel.mesh import DATA_AXIS
+    spec = P(DATA_AXIS)
+    fn = jax.shard_map(
+        lambda p, rv: phase_consensus_batch_packed(p, rv, L=L, **kw),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(packed, read_valid)

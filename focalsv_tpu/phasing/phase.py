@@ -234,6 +234,10 @@ def mec_phase(A: np.ndarray, iters: int = 30, seed: int = 0) -> tuple[np.ndarray
     return h, assign
 
 
+_E8 = np.zeros(0, np.uint8)
+_E8S = np.zeros((0, 0), np.int8)
+
+
 @dataclass
 class PhaseResult:
     hp: np.ndarray           # (R,) int8: 1/2, 0 = unphased
@@ -242,6 +246,19 @@ class PhaseResult:
     n_blocks: int
     site_positions: np.ndarray   # genome coordinates of het sites
     site_blocks: np.ndarray
+    # per-site allele codes + the purified allele matrix (for the phased-SNV
+    # VCF artifact, longshot's region_phased.vcf analog)
+    site_allele0: np.ndarray = None
+    site_allele1: np.ndarray = None
+    allele_mat: np.ndarray = None
+
+    def __post_init__(self):
+        if self.site_allele0 is None:
+            self.site_allele0 = _E8
+        if self.site_allele1 is None:
+            self.site_allele1 = _E8
+        if self.allele_mat is None:
+            self.allele_mat = _E8S
 
 
 def phase_region(
@@ -299,7 +316,8 @@ def phase_region(
         ps[sel] = ps_id
     return PhaseResult(
         hp=hp, ps=ps, n_sites=S, n_blocks=int(blocks.max()) + 1,
-        site_positions=sites.positions + region_start, site_blocks=blocks)
+        site_positions=sites.positions + region_start, site_blocks=blocks,
+        site_allele0=sites.allele0, site_allele1=sites.allele1, allele_mat=A)
 
 
 def group_reads_by_block(
@@ -332,3 +350,53 @@ def group_reads_by_block(
         groups.setdefault((tgt, 1), []).append(i)
         groups.setdefault((tgt, 2), []).append(i)
     return groups
+
+
+def phased_snv_records(pr: PhaseResult, ref_codes: np.ndarray,
+                       region_start: int, chrom: str) -> list:
+    """Phased het-SNV VCF records -- the `region_phased.vcf` artifact the
+    reference's longshot step writes next to the phased BAM
+    (2_phasing/longshot.py:20).  One record per purified het site, with the
+    phased GT (0|1 / 1|0) and the phase-set id in INFO/PS.
+
+    The per-site phase is re-derived as the majority allele among the
+    hap-1-assigned reads (identical on the host and device paths)."""
+    from focalsv_tpu.io.vcf import VcfRecord
+    from focalsv_tpu.ops import encode as enc
+    A = pr.allele_mat
+    if pr.n_sites == 0 or A.size == 0:
+        return []
+    hap1 = pr.hp == 1
+    hap2 = pr.hp == 2
+    v1 = ((A == 1) & hap1[:, None]).sum(0) + ((A == 0) & hap2[:, None]).sum(0)
+    v0 = ((A == 0) & hap1[:, None]).sum(0) + ((A == 1) & hap2[:, None]).sum(0)
+    h = np.where(v1 > v0, 1, 0).astype(np.int8)   # hap-1 allele index
+    # per-block phase-set ids: genome position of the block's first site + 1
+    ps_of_block = {}
+    for s in range(pr.n_sites):
+        b = int(pr.site_blocks[s])
+        ps_of_block.setdefault(b, int(pr.site_positions[s]) + 1)
+    out = []
+    for s in range(pr.n_sites):
+        gpos = int(pr.site_positions[s])
+        lpos = gpos - region_start
+        if not (0 <= lpos < len(ref_codes)):
+            continue
+        refb = int(ref_codes[lpos])
+        a0, a1 = int(pr.site_allele0[s]), int(pr.site_allele1[s])
+        hap1_allele = a0 if h[s] == 0 else a1
+        hap2_allele = a1 if h[s] == 0 else a0
+        # ALT = the first non-reference allele (a0 is the major allele)
+        alt = a0 if a0 != refb else a1
+        if alt == refb:
+            continue     # both alleles equal the reference: not a variant
+        g1 = 0 if hap1_allele == refb else 1
+        g2 = 0 if hap2_allele == refb else 1
+        out.append(VcfRecord(
+            chrom=chrom, pos=gpos + 1, id=".",
+            ref=enc.decode(np.array([refb], np.uint8)),
+            alt=enc.decode(np.array([alt], np.uint8)),
+            qual="30", filter="PASS",
+            info=dict(PS=ps_of_block[int(pr.site_blocks[s])]),
+            gt=f"{g1}|{g2}"))
+    return out

@@ -50,6 +50,7 @@ class RegionTile:
     reads: list                      # raw fetched reads (FP-filter evidence)
     usable: list                     # phasing-eligible reads
     mat: np.ndarray | None = None    # (R, L) uint8 pileup (254 del, 255 nocov)
+    nib: np.ndarray | None = None    # (R, ceil(L/2)) packed 4-bit symbols
     ins_by_read: list = field(default_factory=list)
 
     @property
@@ -67,9 +68,11 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
     tile = RegionTile(chrom=chrom, start=region_start, ref_codes=ref_codes,
                       reads=reads, usable=usable)
     if usable:
+        from focalsv_tpu.parallel.region_step import pack_nibbles
         mat, inss = pileup_with_dels(usable, list(range(len(usable))),
                                      region_start, len(ref_codes))
         tile.mat = mat
+        tile.nib = pack_nibbles(mat)
         tile.ins_by_read = [[] for _ in usable]
         for pos, mi, seq in inss:
             tile.ins_by_read[mi].append((pos, seq))
@@ -118,25 +121,29 @@ def _batch_size(key: tuple[int, int], cfg: PipelineConfig,
 
 
 _cache_ready = False
+_cache_lock = __import__("threading").Lock()
 
 
 def _ensure_compile_cache():
     """Persistent XLA compilation cache: bucketized tile shapes recompile
-    only once per machine, not once per process."""
+    only once per machine, not once per process.  Lock-guarded: concurrent
+    jax.config.update from two threads is a fatal error."""
     global _cache_ready
-    if _cache_ready:
-        return
-    _cache_ready = True
-    try:
-        import os
+    with _cache_lock:
+        if _cache_ready:
+            return
+        try:
+            import os
 
-        import jax
-        path = os.environ.get("FOCALSV_JAX_CACHE",
-                              os.path.expanduser("~/.cache/focalsv_jax"))
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        logger.exception("could not enable the persistent compile cache")
+            import jax
+            path = os.environ.get("FOCALSV_JAX_CACHE",
+                                  os.path.expanduser("~/.cache/focalsv_jax"))
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            logger.exception("could not enable the persistent compile cache")
+        _cache_ready = True
 
 
 def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
@@ -147,11 +154,12 @@ def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
     arrays already cropped to the tile's true (R, L).  Tiles that exceed the
     tile bounds are absent (host fallback).
     """
-    from focalsv_tpu.parallel.region_step import (phase_consensus_batch,
-                                                  phase_consensus_kwargs,
-                                                  sharded_phase_consensus)
+    from focalsv_tpu.parallel.region_step import (
+        phase_consensus_batch_packed, phase_consensus_kwargs,
+        sharded_phase_consensus_packed, unflatten_result)
     _ensure_compile_cache()
     kw = phase_consensus_kwargs(cfg.phasing)
+    S = cfg.phasing.max_sites
     n_devices = mesh.size if mesh is not None else 1
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, t in enumerate(tiles):
@@ -160,32 +168,35 @@ def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
             buckets.setdefault(key, []).append(i)
     # dispatch every chunk first (JAX dispatch is async, so host tile packing,
     # device compute, and result transfers all pipeline), then materialize
-    pending: list[tuple[list[int], tuple]] = []
+    pending: list[tuple[list[int], int, int, object]] = []
     for (Rp, Lp), idxs in sorted(buckets.items()):
         G = _batch_size((Rp, Lp), cfg, n_devices)
         for c0 in range(0, len(idxs), G):
             chunk = idxs[c0 : c0 + G]
-            mat = np.full((G, Rp, Lp), NOCOV, np.uint8)
+            # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
+            packed = np.full((G, Rp, Lp // 2), 0xFF, np.uint8)
             rv = np.zeros((G, Rp), bool)
             for g, ti in enumerate(chunk):
                 t = tiles[ti]
-                R, L = t.mat.shape
-                mat[g, :R, :L] = t.mat
+                R = t.nib.shape[0]
+                packed[g, :R, : t.nib.shape[1]] = t.nib
                 rv[g, :R] = True
             if mesh is not None and n_devices > 1:
-                res = sharded_phase_consensus(mat, rv, mesh, **kw)
+                res = sharded_phase_consensus_packed(packed, rv, mesh,
+                                                     L=Lp, **kw)
             else:
-                res = phase_consensus_batch(mat, rv, **kw)
-            pending.append((chunk, res))
+                res = phase_consensus_batch_packed(packed, rv, L=Lp, **kw)
+            pending.append((chunk, Rp, Lp, res))
     out: dict[int, tuple] = {}
-    for chunk, res in pending:
-        site_pos, n_sites, A, hp, sym, cov = [np.asarray(x) for x in res]
+    for chunk, Rp, Lp, res in pending:
+        bufs = np.asarray(res)
         for g, ti in enumerate(chunk):
             t = tiles[ti]
             R, L = t.mat.shape
-            S = int(n_sites[g])
-            out[ti] = (site_pos[g, :S], S, A[g, :R, :S], hp[g, :R],
-                       sym[g, :, :L], cov[g, :, :L])
+            site_pos, n_sites, A, hp, sym, cov = unflatten_result(
+                bufs[g], Rp, Lp, S)
+            out[ti] = (site_pos[:n_sites], n_sites, A[:R, :n_sites], hp[:R],
+                       sym[:, :L], cov[:, :L])
     return out
 
 
@@ -211,8 +222,18 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
             return None   # multi-block region: host per-block MEC path
         ps_id = start + int(site_pos[0]) + 1
         ps = np.where(hp > 0, ps_id, -1).astype(np.int64)
+        # site allele codes, re-derived from the tile columns with the host
+        # find_het_sites math (top-2 base counts, ties -> lower base code)
+        sub = tile.mat[:, site_pos]
+        counts = np.stack([(sub == b).sum(0) for b in range(4)], axis=1)
+        a0 = counts.argmax(axis=1)
+        masked = counts.copy()
+        np.put_along_axis(masked, a0[:, None], -1, axis=1)
+        a1 = masked.argmax(axis=1)
         pr = PhaseResult(hp.astype(np.int8), ps, S, 1,
-                         site_pos.astype(np.int64) + start, blocks)
+                         site_pos.astype(np.int64) + start, blocks,
+                         site_allele0=a0.astype(np.uint8),
+                         site_allele1=a1.astype(np.uint8), allele_mat=A)
     res.n_phased = int((pr.hp > 0).sum())
     res.n_blocks = pr.n_blocks
     groups = group_reads_by_block(tile.usable, pr)
@@ -243,6 +264,8 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
     res.n_contigs = len(hp1) + len(hp2)
     res.usable_reads = tile.usable
     res.phase_hp, res.phase_ps = pr.hp, pr.ps
+    from focalsv_tpu.phasing.phase import phased_snv_records
+    res.snv_records = phased_snv_records(pr, tile.ref_codes, start, chrom)
     res.contigs_hp1, res.contigs_hp2 = hp1, hp2
     finish_region_result(res, tile.reads, tile.ref_codes, start, chrom, cfg,
                          apply_fp_filter)

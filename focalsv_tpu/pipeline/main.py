@@ -39,11 +39,15 @@ logger = get_logger("pipeline")
 
 def _write_region_artifacts(rdir: str, rres: RegionResult, chrom: str,
                             chrom_len: int) -> None:
-    """Reference-layout region artifacts: region_phased.bam with HP/PS tags
-    (longshot-style, consumed by target-mode complex SV tooling) and the
-    per-phase-block haplotype FASTAs + assembled contigs
-    (PS<ps>_hp{1,2}.fa / HP{1,2}.fa, output_fas.py + combine_fas.py layout)."""
+    """Reference-layout region artifacts: region_phased.bam with HP/PS tags +
+    region_phased.vcf with the phased het SNVs (longshot-style, consumed by
+    target-mode complex SV tooling) and the per-phase-block haplotype FASTAs
+    + assembled contigs (PS<ps>_hp{1,2}.fa / HP{1,2}.fa, output_fas.py +
+    combine_fas.py layout)."""
     try:
+        if rres.snv_records:
+            write_vcf(os.path.join(rdir, "region_phased.vcf"),
+                      rres.snv_records, contigs={chrom: chrom_len})
         if rres.usable_reads and rres.phase_hp is not None:
             w = bamio.BamWriter(os.path.join(rdir, "region_phased.bam"),
                                 [chrom], [chrom_len])

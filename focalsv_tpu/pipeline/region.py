@@ -48,10 +48,12 @@ class RegionResult:
     n_phased: int = 0
     n_blocks: int = 0
     n_contigs: int = 0
-    # artifacts for reference-layout output (region_phased.bam, PS*_hp*.fa)
+    # artifacts for reference-layout output (region_phased.bam + .vcf,
+    # PS*_hp*.fa)
     usable_reads: list = field(default_factory=list)
     phase_hp: np.ndarray | None = None
     phase_ps: np.ndarray | None = None
+    snv_records: list = field(default_factory=list)
     contigs_hp1: dict = field(default_factory=dict)
     contigs_hp2: dict = field(default_factory=dict)
 
@@ -85,6 +87,8 @@ def process_region(
     res.n_contigs = len(hp1) + len(hp2)
     res.usable_reads = usable
     res.phase_hp, res.phase_ps = pr.hp, pr.ps
+    from focalsv_tpu.phasing.phase import phased_snv_records
+    res.snv_records = phased_snv_records(pr, ref_codes, region_start, chrom)
     res.contigs_hp1, res.contigs_hp2 = hp1, hp2
     finish_region_result(res, reads, ref_codes, region_start, chrom, cfg,
                          apply_fp_filter)

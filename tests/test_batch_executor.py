@@ -17,7 +17,9 @@ def test_batched_matches_direct():
     rng = np.random.default_rng(0)
     pairs = [_mk_pair(rng) for _ in range(20)]
     direct = [alignops.banded_align_pair(q, t, band=128) for q, t in pairs]
-    with dp_batching(max_wait_ms=5.0) as batcher:
+    # init_rt_ms=0: force every job through the device batch (the latency
+    # router would otherwise keep jobs this small on the host kernel)
+    with dp_batching(max_wait_ms=5.0, init_rt_ms=0.0) as batcher:
         with ThreadPoolExecutor(max_workers=8) as ex:
             batched = list(ex.map(
                 lambda p: alignops.banded_align_pair(p[0], p[1], band=128),

@@ -61,6 +61,11 @@ def _assert_region_equal(h, d, label):
     hrec = [(r.pos, r.ref, r.alt, r.gt) for r in h.records]
     drec = [(r.pos, r.ref, r.alt, r.gt) for r in d.records]
     assert hrec == drec, label
+    hsnv = [(r.pos, r.ref, r.alt, r.gt, r.info.get("PS"))
+            for r in h.snv_records]
+    dsnv = [(r.pos, r.ref, r.alt, r.gt, r.info.get("PS"))
+            for r in d.snv_records]
+    assert hsnv == dsnv, label
 
 
 @pytest.mark.parametrize("dtype", ["HIFI", "CLR", "ONT"])
@@ -141,3 +146,13 @@ def test_process_chromosome_device_matches_host(tmp_path):
     assert hrec == drec and len(hrec) > 0
     # the device mode must produce the stage-timing artifact
     assert (tmp_path / "dev" / "log" / "stage_times.json").exists()
+    # and the longshot-style phased-SNV VCF artifact per region
+    import glob
+
+    from focalsv_tpu.io.vcf import read_vcf
+    snv_paths = glob.glob(str(tmp_path / "dev" / "regions" / "*" /
+                              "region_phased.vcf"))
+    assert snv_paths, "region_phased.vcf artifact missing"
+    _, snvs = read_vcf(snv_paths[0])
+    assert snvs and all(r.gt in ("0|1", "1|0") for r in snvs)
+    assert all("PS" in r.info for r in snvs)

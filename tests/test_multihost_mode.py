@@ -32,12 +32,17 @@ def test_two_host_sharded_run(tmp_path):
                     Region("chr21", 38_000, 55_000)])
     out = str(tmp_path / "out")
     cfg = preset(DataType.HIFI)
-    # run "host 1" first (writes its shard), then "host 0" (merges)
-    p1 = pm.run_target_mode(bam, ref, out, cfg, target_bed=bed,
-                            process_index=1, process_count=2)
+    # both hosts run CONCURRENTLY: host 0 must block on the merge barrier
+    # until host 1's shard VCF lands, then merge
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f0 = ex.submit(pm.run_target_mode, bam, ref, out, cfg,
+                       target_bed=bed, process_index=0, process_count=2)
+        f1 = ex.submit(pm.run_target_mode, bam, ref, out, cfg,
+                       target_bed=bed, process_index=1, process_count=2)
+        p1 = f1.result(timeout=600)
+        final = f0.result(timeout=600)
     assert os.path.basename(p1) == "host1.vcf"
-    final = pm.run_target_mode(bam, ref, out, cfg, target_bed=bed,
-                               process_index=0, process_count=2)
     assert os.path.basename(final) == "FocalSV_Final_SV.vcf"
     _, calls = read_vcf(final)
     truth = truth_from_sim(region.svs, "chr21", region.ref)
@@ -48,3 +53,45 @@ def test_two_host_sharded_run(tmp_path):
     _, h0 = read_vcf(os.path.join(out, "host0.vcf"))
     _, h1 = read_vcf(os.path.join(out, "host1.vcf"))
     assert len(h0) >= 1 and len(h1) >= 1
+
+
+def test_merge_barrier_raises_on_missing_host(tmp_path):
+    """A straggler host must fail the merge loudly (named), never shrink the
+    genome-wide VCF silently."""
+    from focalsv_tpu.io.vcf import VcfRecord, write_vcf
+    from focalsv_tpu.parallel import distributed as dist
+
+    out = str(tmp_path)
+    write_vcf(dist.host_vcf_path(out, 0),
+              [VcfRecord("chr1", 100, "x", "AT", "A",
+                         info={"SVTYPE": "DEL", "SVLEN": -1})])
+    with pytest.raises(RuntimeError, match="host1.vcf"):
+        dist.merge_host_vcfs(out, 2, timeout_s=1.0, poll_s=0.05)
+
+
+def test_merge_barrier_waits_for_late_host(tmp_path):
+    """The barrier must WAIT for a slow host, not race past it."""
+    import threading
+    import time
+
+    from focalsv_tpu.io.vcf import VcfRecord, read_vcf, write_vcf
+    from focalsv_tpu.parallel import distributed as dist
+
+    out = str(tmp_path)
+    write_vcf(dist.host_vcf_path(out, 0),
+              [VcfRecord("chr1", 100, "x", "AT", "A",
+                         info={"SVTYPE": "DEL", "SVLEN": -1})])
+
+    def late_writer():
+        time.sleep(0.6)
+        tmp = dist.host_vcf_path(out, 1) + ".tmp"
+        write_vcf(tmp, [VcfRecord("chr1", 900, "y", "A", "AGG",
+                                  info={"SVTYPE": "INS", "SVLEN": 2})])
+        os.replace(tmp, dist.host_vcf_path(out, 1))
+
+    t = threading.Thread(target=late_writer)
+    t.start()
+    final = dist.merge_host_vcfs(out, 2, timeout_s=30.0, poll_s=0.05)
+    t.join()
+    _, recs = read_vcf(final)
+    assert {r.pos for r in recs} == {100, 900}

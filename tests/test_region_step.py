@@ -45,7 +45,7 @@ def test_phase_consensus_batch_recovers_haplotypes():
         # consensus columns: where covered, hap consensus must match the
         # reference in most columns (no SVs simulated)
         ref = rg.ref
-        covered = cov[g, 0] > 3
+        covered = cov[g, 0]        # bool coverage mask
         s1 = sym[g, 0]
         base_cols = covered & (s1 < 4)
         match_frac = (s1[base_cols] == ref[np.nonzero(base_cols)[0]]).mean()
