@@ -161,12 +161,146 @@ def stitch_contig(
     return contig if len(contig) else None
 
 
+def _merge_prefix_suffix(P: np.ndarray, S: np.ndarray, k: int = 15,
+                         w: int = 10, min_olp: int = 200,
+                         max_err: float = 0.15) -> np.ndarray | None:
+    """Dovetail-merge an insertion PREFIX (from trailing soft clips) with an
+    insertion SUFFIX (from leading soft clips): minimizer shift voting +
+    banded-DP identity check on the implied overlap."""
+    from focalsv_tpu.ops import align as alignops
+    from focalsv_tpu.ops.minimizer import minimizers
+    if len(P) < k + w or len(S) < k + w:
+        return None
+    pa, ha, _ = minimizers(np.asarray(P, np.uint8), k, w)
+    pb, hb, _ = minimizers(np.asarray(S, np.uint8), k, w)
+    hmap: dict[int, list[int]] = {}
+    for p, h in zip(pb, hb):
+        hmap.setdefault(int(h), []).append(int(p))
+    diffs = []
+    for p, h in zip(pa, ha):
+        for q in hmap.get(int(h), ()):
+            diffs.append(int(p) - q)
+    if len(diffs) < 8:
+        return None
+    shift = int(np.median(diffs))        # S's start in P coordinates
+    olp = len(P) - shift
+    if shift < 0 or olp < min_olp or olp > len(S):
+        return None
+    sim = alignops.edit_similarity(P[shift:], S[:olp])
+    if 1.0 - sim > max_err:
+        return None
+    return np.concatenate([np.asarray(P[:shift], np.uint8),
+                           np.asarray(S, np.uint8)])
+
+
+def clip_insertion_candidates(
+    reads: list[bamio.BamRecord], idxs: list[int],
+    region_start: int, region_len: int,
+    min_clip: int = 500, cluster_dist: int = 200, min_side: int = 2,
+    own: set[int] | None = None, rival: set[int] | None = None,
+) -> list[tuple[int, np.ndarray]]:
+    """Reconstruct insertions LONGER than a read from soft-clip clusters.
+
+    An insertion longer than the read length never appears as a CIGAR I op:
+    no read spans it.  Its sequence survives in the soft clips -- reads
+    entering from the left carry an INS *prefix* as a trailing clip anchored
+    at the insertion column, reads exiting right carry an INS *suffix* as a
+    leading clip at the same column (an I op consumes no reference).  This
+    clusters those clip anchors and dovetail-merges the deepest prefix with
+    the deepest suffix, recovering insertions up to ~2x the read length --
+    the information-theoretic limit of a cropped region BAM (reads wholly
+    inside a novel insertion are unmapped and absent; the reference's
+    hifiasm route has the same bound).  Returns [(column, seq)] candidates.
+
+    Haplotype gating: ``own`` = reads exclusively phased to this haplotype,
+    ``rival`` = reads exclusively phased to the sibling haplotype.  A
+    cluster whose in-group clips are all UNPHASED while the sibling
+    contributed phased clips at the same breakpoint belongs to the sibling
+    and is rejected here -- otherwise a het insertion leaks into the clean
+    haplotype's contig through the both-haplotype-allocated unphased reads
+    and gets mis-genotyped 1/1.
+    """
+    own = own or set()
+    rival = rival or set()
+    # events: (column, side 0=INS-prefix/1=INS-suffix, seq|None, is_rival, ri)
+    events: list[tuple] = []
+
+    def collect(ri: int, is_rival: int):
+        rec = reads[ri]
+        cig = rec.cigar
+        if len(cig) == 0:
+            return
+        op0, ln0 = int(cig[0][0]), int(cig[0][1])
+        opn, lnn = int(cig[-1][0]), int(cig[-1][1])
+        if op0 == bamio.CSOFT_CLIP and ln0 >= min_clip:
+            col = rec.pos - region_start
+            if 0 <= col < region_len:
+                events.append((col, 1, np.asarray(rec.seq[:ln0], np.uint8),
+                               is_rival, ri))
+        if opn == bamio.CSOFT_CLIP and lnn >= min_clip:
+            col = rec.reference_end - region_start
+            if 0 <= col < region_len:
+                events.append((col, 0, np.asarray(rec.seq[-lnn:], np.uint8),
+                               is_rival, ri))
+
+    for ri in idxs:
+        collect(ri, 0)
+    for ri in sorted(rival):
+        collect(ri, 1)
+    if not events:
+        return []
+    events.sort(key=lambda e: e[0])
+    out: list[tuple[int, np.ndarray]] = []
+    cur: list[tuple] = []
+
+    def flush(cluster):
+        mine = [e for e in cluster if not e[3]]
+        pres = [e[2] for e in mine if e[1] == 0]
+        sufs = [e[2] for e in mine if e[1] == 1]
+        if len(pres) < min_side or len(sufs) < min_side:
+            return
+        own_here = any(e[4] in own for e in mine)
+        rival_here = any(e[3] for e in cluster)
+        if rival_here and not own_here:
+            return   # the sibling haplotype owns this breakpoint
+        seq = _merge_prefix_suffix(max(pres, key=len), max(sufs, key=len))
+        if seq is not None:
+            cols = [e[0] for e in mine]
+            out.append((int(np.median(cols)), seq))
+
+    for ev in events + [(1 << 60, 0, None, 0, -1)]:
+        if cur and ev[0] - cur[-1][0] > cluster_dist:
+            flush(cur)
+            cur = []
+        if ev[2] is not None:
+            cur.append(ev)
+    return out
+
+
+def add_clip_insertions(ins_at: dict[int, np.ndarray],
+                        reads, idxs, region_start: int, region_len: int,
+                        own: set[int] | None = None,
+                        rival: set[int] | None = None,
+                        guard: int = 300) -> dict[int, np.ndarray]:
+    """Merge clip-cluster insertion candidates into the decided-insertion
+    map (CIGAR-op insertions win where both exist)."""
+    for col, seq in clip_insertion_candidates(reads, idxs, region_start,
+                                              region_len, own=own,
+                                              rival=rival):
+        if any(abs(col - p) <= guard for p in ins_at):
+            continue
+        ins_at[col] = seq
+    return ins_at
+
+
 def consensus_contig(
     reads: list[bamio.BamRecord], idxs: list[int],
     region_start: int, region_len: int,
     cfg: AssemblyConfig = AssemblyConfig(),
     min_ins_frac: float = 0.4,
     min_ins_support: int = 2,
+    own: set[int] | None = None,
+    rival: set[int] | None = None,
 ) -> np.ndarray | None:
     """Build one haplotype consensus contig over the region window."""
     if len(idxs) < cfg.min_reads:
@@ -175,7 +309,21 @@ def consensus_contig(
     sym, cov = _column_vote(mat)
     ins_at = decide_insertions(mat != NOCOV, inss, region_len,
                                min_ins_frac, min_ins_support)
+    ins_at = add_clip_insertions(ins_at, reads, idxs, region_start,
+                                 region_len, own=own, rival=rival)
     return stitch_contig(sym, cov, ins_at)
+
+
+def group_exclusive_sets(groups: dict, ps: int, hp: int
+                         ) -> tuple[set[int], set[int]]:
+    """(own, rival) exclusive-member read sets of a (phase-set, haplotype)
+    group: members NOT shared with the sibling haplotype (shared members are
+    the unphased reads output_fas-style allocated to both)."""
+    if hp not in (1, 2):
+        return set(), set()
+    mine = set(groups.get((ps, hp), ()))
+    sib = set(groups.get((ps, 3 - hp), ()))
+    return mine - sib, sib - mine
 
 
 def assemble_haplotypes(
@@ -194,12 +342,13 @@ def assemble_haplotypes(
     hp2: dict[str, np.ndarray] = {}
     for (ps, hp), idxs in sorted(groups.items()):
         tgt = hp1 if hp in (0, 1) else hp2
+        own, rival = group_exclusive_sets(groups, ps, hp)
         if cfg.method == "olc":
             from focalsv_tpu.assembly.olc import assemble_olc
             contig = assemble_olc([reads[i].seq for i in idxs], cfg)
         else:
             contig = consensus_contig(reads, idxs, region_start, region_len,
-                                      cfg)
+                                      cfg, own=own, rival=rival)
         if contig is None:
             continue
         name = f"{name_prefix}_PS{ps}_hp{max(hp,1)}"

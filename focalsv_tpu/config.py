@@ -187,9 +187,13 @@ class AlignConfig:
     chain_min_anchors: int = 3
     chain_split_gap: int = 400   # split chains when both dq,dt exceed this
     flank_extend: int = 800             # max unanchored flank to DP-extend
+    # asm-preset scoring (the reference aligns contigs with minimap2 -x asm5,
+    # DipPAV_variant_call.py:103): a HIGH gap-open keeps a repeat-array indel
+    # as ONE gap -- with a cheap open the DP splits it across unit boundaries
+    # wherever a stray match exists, fragmenting the SV signature
     match: int = 2
-    mismatch: int = -4
-    gap_open: int = -4
+    mismatch: int = -8
+    gap_open: int = -24
     gap_extend: int = -2
 
 

@@ -110,11 +110,23 @@ def match_records(
 
 
 def truth_from_sim(svs, chrom: str, ref: np.ndarray, ref_offset: int = 0) -> list[VcfRecord]:
-    """SimSV truth -> VcfRecords for benchmarking."""
+    """SimSV truth -> VcfRecords for benchmarking.
+
+    Truth indels are LEFT-ALIGNED (repeat canonicalization) to the same
+    space the caller emits -- inside a tandem array every unit boundary is
+    an equivalent placement, and comparing a left-aligned call against an
+    un-normalized truth position fails refdist for no real reason."""
+    from focalsv_tpu.ops.normalize import left_align_del, left_align_ins
     out = []
     for i, sv in enumerate(svs):
-        pos = sv.pos + ref_offset
         p0 = sv.pos
+        ins_seq = sv.seq
+        if sv.svtype == "DEL" and 1 <= p0 and p0 + sv.length <= len(ref):
+            p0 = left_align_del(ref, p0, sv.length)
+        elif sv.svtype == "INS" and 1 <= p0 < len(ref) and sv.seq is not None:
+            p0, ins_seq = left_align_ins(ref, p0,
+                                         np.asarray(sv.seq, np.uint8))
+        pos = p0 + ref_offset
         anchor = enc.decode(ref[p0 - 1 : p0])
         if sv.svtype == "DEL":
             ref_allele = anchor + enc.decode(ref[p0 : p0 + sv.length])
@@ -122,7 +134,7 @@ def truth_from_sim(svs, chrom: str, ref: np.ndarray, ref_offset: int = 0) -> lis
             svlen = -sv.length
         else:
             ref_allele = anchor
-            alt_allele = anchor + enc.decode(sv.seq)
+            alt_allele = anchor + enc.decode(ins_seq)
             svlen = sv.length
         out.append(VcfRecord(
             chrom=chrom, pos=pos, id=f"truth{i}", ref=ref_allele,

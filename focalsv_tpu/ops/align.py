@@ -441,9 +441,11 @@ def edit_similarity(a: np.ndarray, b: np.ndarray, band: int = 128) -> float:
     la, lb = len(a), len(b)
     if max(la, lb) == 0:
         return 1.0
-    # host-native path for short pairs: one ctypes call beats a device
-    # dispatch round-trip at these sizes
-    if max(la, lb) <= 20_000:
+    # host-native path: score-only O(n*band) with a small working set -- a
+    # 30 kb INS-seq pair at band ~100 is ~3M cells, fractions of a ms.  The
+    # previous 20 kb length cap pushed long low-divergence pairs onto a
+    # fresh wide-band XLA compile (a >4 min stall per new shape on CPU)
+    if max(la, lb) * (abs(la - lb) + 64) <= NATIVE_DP_MAX_CELLS * 16:
         from focalsv_tpu import native
         dist = native.banded_edit_distance(
             np.asarray(a, np.uint8), np.asarray(b, np.uint8),

@@ -84,13 +84,15 @@ def _one_region(
     """
     R, L = m.shape
     S = max_sites
-    # --- het-site detection (phasing view: only base codes 0..3 vote;
-    #     DEL/NOCOV symbols 254/255 fall out of the == tests) ----------
+    # --- het-site detection over the 5 allele symbols {A,C,G,T,DEL}:
+    #     a deleted column is a first-class phasing allele
+    #     (phasing/phase.py::ALLELE_CODES); NOCOV (255) never matches ----
+    allele_codes = (0, 1, 2, 3, DEL_SYM)
     counts = jnp.stack(
-        [(m == b).sum(0, dtype=jnp.int32) for b in range(4)], axis=1)
+        [(m == b).sum(0, dtype=jnp.int32) for b in allele_codes], axis=1)
     depth = counts.sum(1)
     a0 = jnp.argmax(counts, axis=1)
-    onehot0 = jax.nn.one_hot(a0, 4, dtype=jnp.bool_)
+    onehot0 = jax.nn.one_hot(a0, len(allele_codes), dtype=jnp.bool_)
     masked = jnp.where(onehot0, -1, counts)
     a1 = jnp.argmax(masked, axis=1)
     top1 = jnp.max(masked, axis=1)            # minor-allele count
@@ -101,20 +103,31 @@ def _one_region(
         & (top1 * hi_den <= depth * hi_num)
         & (top1 >= min_minor_count)
     )
-    # balance-ranked selection: f32 ratio, top_k ties -> lowest column
+    # strip-based selection: one best-balance site per L/S strip (positional
+    # spread; see phasing/phase.py::select_sites_strips -- bit-identical)
     bal = jnp.where(
         is_het,
         top1.astype(jnp.float32) / jnp.maximum(n0 + top1, 1).astype(jnp.float32),
         jnp.float32(-1.0))
-    vals, idx = jax.lax.top_k(bal, S)
-    sel = vals > 0
-    # order selected sites by position (invalid pinned stably to the tail)
-    pos_key = jnp.where(sel, idx, L + jnp.arange(S, dtype=jnp.int32))
-    order = jnp.argsort(pos_key)
-    site_pos = jnp.take(idx, order).astype(jnp.int32)
-    sel = jnp.take(sel, order)
-    sa0 = a0[site_pos].astype(jnp.uint8)
-    sa1 = a1[site_pos].astype(jnp.uint8)
+    strip = -(-L // S)
+    pad = S * strip - L
+    bal_p = jnp.concatenate([bal, jnp.full(pad, -1.0, jnp.float32)]) \
+        if pad else bal
+    strips = bal_p.reshape(S, strip)
+    off = jnp.argmax(strips, axis=1)
+    val = jnp.max(strips, axis=1)
+    site_pos = (jnp.arange(S, dtype=jnp.int32) * strip
+                + off.astype(jnp.int32))
+    sel = val > 0
+    # compact selected sites to the front (position order preserved)
+    slot0 = jnp.arange(S, dtype=jnp.int32)
+    order0 = jnp.argsort(jnp.where(sel, slot0, S + slot0))
+    site_pos = jnp.take(site_pos, order0)
+    sel = jnp.take(sel, order0)
+    site_pos = jnp.where(sel, site_pos, 0)   # keep invalid gathers in range
+    code_map = jnp.asarray(np.array(allele_codes, np.uint8))
+    sa0 = code_map[a0[site_pos]]
+    sa1 = code_map[a1[site_pos]]
     sub = m[:, site_pos]
     A = jnp.where(sub == sa0[None, :], 0,
                   jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)

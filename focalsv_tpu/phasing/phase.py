@@ -88,24 +88,36 @@ class HetSites:
     allele1: np.ndarray      # (S,) uint8 base code (minor)
 
 
+# allele symbol codes per counts column: A C G T DEL.  A deleted column is a
+# first-class phasing allele: a multi-kb het DEL is a perfect haplotype
+# marker across its whole span, and phases the reads INSIDE the hemizygous
+# interval (which cover no SNV) to the undeleted haplotype -- without it
+# those reads stay unphased, vote in both haplotypes, and fragment the
+# deleted haplotype's consensus (observed: 34 kb het DEL -> five pieces).
+ALLELE_CODES = np.array([0, 1, 2, 3, 254], np.uint8)
+
+
 def find_het_sites(
     mat: np.ndarray, ref_codes: np.ndarray, cfg: PhasingConfig,
 ) -> HetSites:
-    """Columns where two alleles both have frequency in the het band."""
+    """Columns where two alleles both have frequency in the het band.
+
+    ``mat`` is the unified pileup (assembly/consensus.py::pileup_with_dels):
+    base codes 0..3, 254 = deleted column, 255 = not covered."""
     R, L = mat.shape
-    counts = np.zeros((L, 4), np.int32)
-    for b in range(4):
-        counts[:, b] = (mat == b).sum(axis=0)
+    counts = np.zeros((L, 5), np.int32)
+    for i, code in enumerate(ALLELE_CODES):
+        counts[:, i] = (mat == code).sum(axis=0)
     depth = counts.sum(axis=1)
-    # top-2 bases per column via two argmax passes (ties -> lower base code,
+    # top-2 alleles per column via two argmax passes (ties -> lower column,
     # matching a stable descending sort)
     a0 = counts.argmax(axis=1)
     masked = counts.copy()
     np.put_along_axis(masked, a0[:, None], -1, axis=1)
     a1 = masked.argmax(axis=1)
     top1 = np.take_along_axis(masked, a1[:, None], axis=1)[:, 0]
-    a0 = a0.astype(np.uint8)
-    a1 = a1.astype(np.uint8)
+    a0 = ALLELE_CODES[a0]
+    a1 = ALLELE_CODES[a1]
     # integer threshold arithmetic (see frac_parts): minor/depth in the het
     # band becomes minor*den >= depth*num -- exact, and identical on device
     lo_n, lo_d = frac_parts(cfg.min_allele_frac)
@@ -120,6 +132,24 @@ def find_het_sites(
     )
     pos = np.nonzero(is_het)[0]
     return HetSites(positions=pos, allele0=a0[pos], allele1=a1[pos])
+
+
+def select_sites_strips(bal: np.ndarray, max_sites: int) -> np.ndarray:
+    """Positions of the selected het sites: the region is cut into
+    ``max_sites`` equal strips and each strip contributes its best-balance
+    het column (bal < 0 = not a het site).  Guarantees positional spread --
+    every read longer than one strip covers a candidate site -- and is a
+    pure reshape+argmax, identical on host and device."""
+    L = len(bal)
+    S = max_sites
+    strip = -(-L // S)                      # ceil
+    pad = S * strip - L
+    bal_p = np.concatenate([bal, np.full(pad, -1.0, np.float32)])
+    strips = bal_p.reshape(S, strip)
+    off = strips.argmax(axis=1)             # ties -> lowest column
+    val = strips.max(axis=1)
+    pos = np.arange(S, dtype=np.int64) * strip + off
+    return pos[val > 0]
 
 
 def allele_matrix(mat: np.ndarray, sites: HetSites) -> np.ndarray:
@@ -272,18 +302,30 @@ def phase_region(
     if R == 0:
         return PhaseResult(np.zeros(0, np.int8), np.zeros(0, np.int64), 0, 0,
                            np.zeros(0, np.int64), np.zeros(0, np.int64))
-    mat = pileup_matrix(reads, region_start, L)
+    # unified pileup with deleted columns as symbol 254 (a first-class
+    # phasing allele; see ALLELE_CODES) -- the same matrix the device step
+    # sees, so host/device parity is structural
+    from focalsv_tpu.assembly.consensus import pileup_with_dels
+    mat, _ = pileup_with_dels(reads, list(range(R)), region_start, L)
     sites = find_het_sites(mat, ref_codes, cfg)
-    if len(sites.positions) > cfg.max_sites:
-        # keep the highest-confidence (most balanced) sites.  Balance is an
-        # f32 ratio with a STABLE descending sort (ties -> lowest position),
-        # matching the device step's f32 top_k tie-break exactly
+    if len(sites.positions) > 0:
+        # strip-based site selection: one best-balance site per L/max_sites
+        # strip (select_sites_strips).  Balance-top-k had a pathological
+        # failure: a 30 kb het DEL contributes 30k equal-balance candidate
+        # columns and the tie-break (lowest position) packed every selected
+        # site at the DELETION'S LEFT EDGE, leaving tail-interior reads
+        # siteless -> unphased -> consensus pollution.  Strips guarantee
+        # positional spread; f32 balance matches the device step exactly.
         sub = mat[:, sites.positions]
         n1 = (sub == sites.allele1[None, :]).sum(axis=0)
         n0 = (sub == sites.allele0[None, :]).sum(axis=0)
-        bal = (np.minimum(n0, n1).astype(np.float32)
-               / np.maximum(n0 + n1, 1).astype(np.float32))
-        keep = np.sort(np.argsort(-bal, kind="stable")[: cfg.max_sites])
+        bal_all = np.full(L, -1.0, np.float32)
+        bal_all[sites.positions] = (
+            np.minimum(n0, n1).astype(np.float32)
+            / np.maximum(n0 + n1, 1).astype(np.float32))
+        keep_pos = select_sites_strips(bal_all, cfg.max_sites)
+        idx_of = {int(p): i for i, p in enumerate(sites.positions)}
+        keep = np.array([idx_of[int(p)] for p in keep_pos], np.int64)
         sites = HetSites(sites.positions[keep], sites.allele0[keep],
                          sites.allele1[keep])
     if cfg.use_pairhmm:
@@ -384,6 +426,8 @@ def phased_snv_records(pr: PhaseResult, ref_codes: np.ndarray,
             continue
         refb = int(ref_codes[lpos])
         a0, a1 = int(pr.site_allele0[s]), int(pr.site_allele1[s])
+        if a0 > 3 or a1 > 3:
+            continue   # DEL-allele phasing marker, not a SNV
         hap1_allele = a0 if h[s] == 0 else a1
         hap2_allele = a1 if h[s] == 0 else a0
         # ALT = the first non-reference allele (a0 is the major allele)

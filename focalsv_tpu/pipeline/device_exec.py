@@ -27,7 +27,9 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from focalsv_tpu.assembly.consensus import (NOCOV, decide_insertions,
+from focalsv_tpu.assembly.consensus import (NOCOV, add_clip_insertions,
+                                            decide_insertions,
+                                            group_exclusive_sets,
                                             pileup_with_dels, stitch_contig)
 from focalsv_tpu.config import PipelineConfig
 from focalsv_tpu.io import bam as bamio
@@ -223,17 +225,18 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
         ps_id = start + int(site_pos[0]) + 1
         ps = np.where(hp > 0, ps_id, -1).astype(np.int64)
         # site allele codes, re-derived from the tile columns with the host
-        # find_het_sites math (top-2 base counts, ties -> lower base code)
+        # find_het_sites math (top-2 allele counts, ties -> lower column)
+        from focalsv_tpu.phasing.phase import ALLELE_CODES
         sub = tile.mat[:, site_pos]
-        counts = np.stack([(sub == b).sum(0) for b in range(4)], axis=1)
+        counts = np.stack([(sub == c).sum(0) for c in ALLELE_CODES], axis=1)
         a0 = counts.argmax(axis=1)
         masked = counts.copy()
         np.put_along_axis(masked, a0[:, None], -1, axis=1)
         a1 = masked.argmax(axis=1)
         pr = PhaseResult(hp.astype(np.int8), ps, S, 1,
                          site_pos.astype(np.int64) + start, blocks,
-                         site_allele0=a0.astype(np.uint8),
-                         site_allele1=a1.astype(np.uint8), allele_mat=A)
+                         site_allele0=ALLELE_CODES[a0],
+                         site_allele1=ALLELE_CODES[a1], allele_mat=A)
     res.n_phased = int((pr.hp > 0).sum())
     res.n_blocks = pr.n_blocks
     groups = group_reads_by_block(tile.usable, pr)
@@ -254,6 +257,9 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
             inss = [(pos, mi, seq) for mi, ri in enumerate(idxs)
                     for (pos, seq) in tile.ins_by_read[ri]]
             ins_at = decide_insertions(valid[idxs], inss, L)
+            own, rival = group_exclusive_sets(groups, psid, k)
+            ins_at = add_clip_insertions(ins_at, tile.usable, idxs, start, L,
+                                         own=own, rival=rival)
             contig = stitch_contig(sym[row], cov[row], ins_at)
         if contig is None:
             continue

@@ -232,9 +232,14 @@ def simulate_region(
     sub_rate: float = 0.001,
     ins_rate: float = 0.0,
     del_rate: float = 0.0,
+    ref: np.ndarray | None = None,
 ) -> SimulatedRegion:
     rng = np.random.default_rng(seed)
-    ref = random_seq(rng, ref_len)
+    if ref is None:
+        ref = random_seq(rng, ref_len)
+    else:
+        ref = np.asarray(ref, np.uint8)
+        ref_len = len(ref)
     if svs is None:
         ins_seq = random_seq(rng, 400)
         svs = [
@@ -298,3 +303,55 @@ def write_region_bam(region: SimulatedRegion, path: str, ref_len: int | None = N
     w.close()
     build_bai(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# adversarial content generators (the accuracy-gate stressors: repeats,
+# segmental duplications, nested SVs, coverage dropouts)
+# ---------------------------------------------------------------------------
+
+
+def tandem_ref(rng: np.random.Generator, ref_len: int, arrays: int = 3,
+               unit_lo: int = 5, unit_hi: int = 200,
+               copies_lo: int = 5, copies_hi: int = 40) -> np.ndarray:
+    """Reference with embedded tandem-repeat arrays (repeat-mediated
+    breakpoint ambiguity: indels inside arrays left-align many units away)."""
+    ref = random_seq(rng, ref_len)
+    for _ in range(arrays):
+        unit = random_seq(rng, int(rng.integers(unit_lo, unit_hi + 1)))
+        copies = int(rng.integers(copies_lo, copies_hi + 1))
+        arr = np.tile(unit, copies)
+        start = int(rng.integers(2_000, max(ref_len - len(arr) - 2_000, 2_001)))
+        ref[start : start + len(arr)] = arr[: max(0, min(len(arr), ref_len - start))]
+    return ref
+
+
+def segdup_ref(rng: np.random.Generator, ref_len: int, block: int = 4_000,
+               n_copies: int = 2) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """Reference carrying n_copies of one block (mapping ambiguity: seeds
+    hit every copy).  Returns (ref, [(start, end) of each copy])."""
+    ref = random_seq(rng, ref_len)
+    src = int(rng.integers(2_000, ref_len // 2 - block))
+    blk = ref[src : src + block].copy()
+    spots = [(src, src + block)]
+    for i in range(1, n_copies):
+        dst = int(rng.integers(ref_len // 2, ref_len - block - 2_000))
+        ref[dst : dst + block] = blk
+        spots.append((dst, dst + block))
+    return ref, spots
+
+
+def drop_coverage(region: "SimulatedRegion", lo: int, hi: int,
+                  keep_frac: float = 0.0,
+                  rng: np.random.Generator | None = None) -> None:
+    """Coverage dropout: remove reads whose reference span intersects
+    [lo, hi) (keep each with prob keep_frac) -- models mapping holes."""
+    rng = rng or np.random.default_rng(0)
+    keep_reads, keep_hap = [], []
+    for rec, h in zip(region.reads, region.read_hap):
+        if rec.pos < hi and rec.reference_end > lo and rng.random() >= keep_frac:
+            continue
+        keep_reads.append(rec)
+        keep_hap.append(h)
+    region.reads = keep_reads
+    region.read_hap = keep_hap
