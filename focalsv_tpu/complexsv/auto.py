@@ -219,7 +219,6 @@ def call_complex_auto(
     data_type: str = "HIFI",
 ) -> AutoComplexResult:
     """Classify split reads and call INV/DUP/TRA candidates genome-wide."""
-    params = AUTO_PARAMS[data_type]
     # group every read's segments across chromosomes
     segs_by_read: dict[str, list[Segment]] = {}
     for chrom, records in records_by_chrom.items():
@@ -229,6 +228,41 @@ def call_complex_auto(
             seg = segment_from_record(rec, chrom)
             if seg is not None:
                 segs_by_read.setdefault(rec.name, []).append(seg)
+    return call_complex_from_segments(segs_by_read, data_type)
+
+
+def stream_segments_and_spans(
+    bam: bamio.BamReader, chroms: list[str] | None = None,
+) -> tuple[dict[str, list[Segment]], dict]:
+    """One streaming pass over the BAM: split-read segments (tiny tuples,
+    kept genome-wide for cross-chromosome TRA joins) plus per-chromosome
+    primary-read span arrays for coverage features.  Never holds a
+    chromosome's records in memory (WGS discipline: a 30x BAM's reads do
+    not fit; its segments and spans do)."""
+    import numpy as np
+    segs_by_read: dict[str, list[Segment]] = {}
+    spans_by_chrom: dict = {}
+    for chrom in chroms or bam.ref_names:
+        ss: list[tuple[int, int]] = []
+        for rec in bam.fetch(chrom):
+            if (not rec.is_unmapped and not rec.is_secondary
+                    and not rec.is_supplementary):
+                ss.append((rec.pos, rec.reference_end))
+            if rec.is_unmapped or rec.is_secondary or rec.mapq < MIN_MAPQ:
+                continue
+            seg = segment_from_record(rec, chrom)
+            if seg is not None:
+                segs_by_read.setdefault(rec.name, []).append(seg)
+        spans_by_chrom[chrom] = np.array(ss, np.int64).reshape(-1, 2)
+    return segs_by_read, spans_by_chrom
+
+
+def call_complex_from_segments(
+    segs_by_read: dict[str, list[Segment]],
+    data_type: str = "HIFI",
+) -> AutoComplexResult:
+    """INV/DUP/TRA candidate calling from pre-collected read segments."""
+    params = AUTO_PARAMS[data_type]
     res = AutoComplexResult()
     inv_cands: dict[str, list[tuple]] = {}
     dup_cands: dict[str, list[tuple]] = {}

@@ -46,20 +46,16 @@ def main(argv=None) -> int:
     out_vcf = os.path.join(args.out_dir, "FocalSV_TRA_INV_DUP.vcf")
 
     if args.mode == "auto":
-        records_by_chrom = {c: list(bam.fetch(c)) for c in bam.ref_names}
-        res = cauto.call_complex_auto(records_by_chrom, args.data_type)
+        # ONE streaming pass: split-read segments + per-chromosome span
+        # arrays; full records are never resident (WGS memory discipline)
+        segs, spans_by_chrom = cauto.stream_segments_and_spans(bam)
+        res = cauto.call_complex_from_segments(segs, args.data_type)
         for chrom in list(res.invs):
             res.invs[chrom] = cauto.filter_tra_inv(
                 res.invs[chrom], min_sup=args.min_support)
-        import numpy as np
-
         from focalsv_tpu.utils.coverage import dup_round2_filter
         for chrom in list(res.dups):
-            # coverage spans from the already-fetched records
-            spans = np.array(
-                [[r.pos, r.reference_end] for r in records_by_chrom[chrom]
-                 if not r.is_secondary and not r.is_supplementary],
-                np.int64).reshape(-1, 2)
+            spans = spans_by_chrom.get(chrom)
             ref_len = dict(zip(bam.ref_names, bam.ref_lens))[chrom]
             mean_cov = float((spans[:, 1] - spans[:, 0]).sum()) / max(ref_len, 1)
             kept = cauto.filter_dups(res.dups[chrom], mean_cov, args.data_type)

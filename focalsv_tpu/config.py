@@ -218,7 +218,11 @@ class ExecutionConfig:
     """
 
     mode: str = "device"                # "device" | "host"
-    # HBM working-set budget per device dispatch (bytes of pileup tile)
+    # HBM working-set budget per device dispatch (bytes of pileup tile).
+    # Batch size 8 measured best on the tunneled link: larger single
+    # device->host buffers hit a pathological transfer path (122 s for a
+    # 3.5 MB G=32 result vs 1.5 s for the same work as 4x G=8), and
+    # concurrent in-flight batches already pipeline the per-dispatch latency
     batch_bytes: int = 128 << 20
     max_regions_per_batch: int = 8
     # tiles above these bounds fall back to the host per-region path

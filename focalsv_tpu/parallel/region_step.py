@@ -293,7 +293,17 @@ def phase_consensus_batch_packed(
         ]
         return jnp.concatenate(parts)
 
-    return jax.vmap(one)(packed, read_valid)
+    G = packed.shape[0]
+    inner = 8
+    if G <= inner or G % inner != 0:
+        return jax.vmap(one)(packed, read_valid)
+    # one big transfer, bounded working set: the unpacked (inner, R, L)
+    # pileups and their vote temporaries exist for one inner chunk at a
+    # time (a full-G vmap OOMs HBM on large batches)
+    p4 = packed.reshape(G // inner, inner, *packed.shape[1:])
+    rv4 = read_valid.reshape(G // inner, inner, read_valid.shape[1])
+    out = jax.lax.map(lambda args: jax.vmap(one)(*args), (p4, rv4))
+    return out.reshape(G, -1)
 
 
 def unflatten_result(buf: np.ndarray, R: int, L: int, S: int) -> tuple:

@@ -172,9 +172,16 @@ def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
     # device compute, and result transfers all pipeline), then materialize
     pending: list[tuple[list[int], int, int, object]] = []
     for (Rp, Lp), idxs in sorted(buckets.items()):
-        G = _batch_size((Rp, Lp), cfg, n_devices)
-        for c0 in range(0, len(idxs), G):
+        G_full = _batch_size((Rp, Lp), cfg, n_devices)
+        # small-tail batch size: a nearly-empty padded batch wastes the
+        # whole transfer; 8 keeps the extra compile shapes to one per bucket
+        G_small = max(min(G_full, 8), n_devices)
+        c0 = 0
+        while c0 < len(idxs):
+            remaining = len(idxs) - c0
+            G = G_full if remaining > G_small else G_small
             chunk = idxs[c0 : c0 + G]
+            c0 += G
             # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
             packed = np.full((G, Rp, Lp // 2), 0xFF, np.uint8)
             rv = np.zeros((G, Rp), bool)

@@ -74,10 +74,14 @@ _native_scan_cache: dict = {}
 
 def _native_chrom_scan(bam: bamio.BamReader, chrom: str,
                        cfg: PipelineConfig):
-    """One native whole-BAM scan, cached per (bam path); returns the
-    requested chromosome's ScanResult or None if the library is absent."""
+    """One native whole-BAM scan, cached for the CURRENT bam path only;
+    returns the requested chromosome's ScanResult or None if the library is
+    absent.  The NativeScan holds compact columnar arrays; per-chromosome
+    Python objects materialize lazily one chromosome at a time, so peak
+    memory stays O(genome arrays + one chromosome)."""
     key = bam.bgzf.path
     if key not in _native_scan_cache:
+        _native_scan_cache.clear()     # one BAM's scan resident at a time
         try:
             from focalsv_tpu.scan.fast_scan import scan_bam_native
             _native_scan_cache[key] = scan_bam_native(

@@ -2,10 +2,13 @@
 
 One C++ pass (native/bamscan.cpp) decompresses BGZF, walks every record's
 CIGAR with cuteSV's exact conventions, and returns columnar numpy arrays;
-this wrapper reconstructs per-chromosome ScanResults (CIGAR signatures with
-INS sequences, split-pair signatures from the per-record geometry, spanning
-intervals for genotyping).  Falls back to the pure-Python scan when the
-native library is unavailable.
+NativeScan keeps ONLY those compact arrays (tens of bytes per record, the
+memory-disciplined whole-genome representation) and reconstructs one
+chromosome's ScanResult on demand -- so a 30x WGS run holds the columnar
+arrays plus a single chromosome's Python objects, never the whole genome's
+(reference analog: cuteSV spills .sigs files to disk and re-reads per
+chromosome, Reads_Based_Scan.py:663-669).  Falls back to the pure-Python
+scan when the native library is unavailable.
 
 Known divergence from the Python path: split-pair INS signatures carry no
 sequence here (the native pass does not retain whole read sequences), so
@@ -17,6 +20,7 @@ cluster whose members are all shorter than the mean length.
 from __future__ import annotations
 
 import ctypes
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -29,10 +33,123 @@ def _c(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+@dataclass
+class NativeScan:
+    """Columnar whole-genome scan with lazy per-chromosome ScanResults."""
+
+    ref_names: list[str]
+    cfg: ReadScanConfig
+    ref: np.ndarray
+    pos: np.ndarray
+    end: np.ndarray
+    mapq: np.ndarray
+    flag: np.ndarray
+    rstart: np.ndarray
+    rend: np.ndarray
+    rlen: np.ndarray
+    name: np.ndarray
+    s_type: np.ndarray
+    s_ref: np.ndarray
+    s_pos: np.ndarray
+    s_len: np.ndarray
+    s_rec: np.ndarray
+    s_soff: np.ndarray
+    s_slen: np.ndarray
+    blob: np.ndarray
+    n_sig: int
+    _cache: dict = field(default_factory=dict)   # one-chromosome LRU
+
+    def get(self, chrom: str) -> ScanResult | None:
+        if chrom not in self.ref_names:
+            return None
+        if chrom in self._cache:
+            return self._cache[chrom]
+        res = self._build(self.ref_names.index(chrom))
+        self._cache = {chrom: res}   # keep exactly one chromosome's objects
+        return res
+
+    def __getitem__(self, chrom: str) -> ScanResult:
+        res = self.get(chrom)
+        if res is None:
+            raise KeyError(chrom)
+        return res
+
+    def _build(self, rid: int) -> ScanResult:
+        cfg = self.cfg
+        ref, pos, end = self.ref, self.pos, self.end
+        mapq, flag = self.mapq, self.flag
+        rstart, rend, rlen, name = self.rstart, self.rend, self.rlen, self.name
+        res = ScanResult()
+        in_chrom = ref == rid
+        name_str = {}
+
+        def nm(i: int) -> str:
+            v = int(name[i])
+            s = name_str.get(v)
+            if s is None:
+                s = "r%x" % v
+                name_str[v] = s
+            return s
+
+        primary = (flag & 0x800) == 0
+        for i in np.nonzero(in_chrom & primary)[0]:
+            res.read_spans.append((nm(i), int(pos[i]), int(end[i])))
+        # CIGAR signatures
+        if self.n_sig:
+            ssel = self.s_ref[: self.n_sig] == rid
+            for k in np.nonzero(ssel)[0]:
+                ri = int(self.s_rec[k])
+                seq = None
+                if self.s_type[k] == 1:
+                    seq = self.blob[self.s_soff[k]
+                                    : self.s_soff[k] + self.s_slen[k]].copy()
+                sig = RawSig(int(self.s_pos[k]), int(self.s_len[k]),
+                             nm(ri), seq)
+                (res.ins_sigs if self.s_type[k] == 1
+                 else res.del_sigs).append(sig)
+        # split-pair signatures from per-record geometry (cuteSV
+        # analysis_split_read conventions; rstart/rend are already
+        # forward-read-space in the native output)
+        csel = np.nonzero(in_chrom & (mapq >= cfg.min_mapq)
+                          & (rlen >= cfg.min_read_len))[0]
+        if csel.size:
+            order = np.argsort(name[csel], kind="stable")
+            grp = csel[order]
+            names_g = name[grp]
+            bounds = np.nonzero(np.diff(names_g))[0] + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(grp)]])
+            for a, b in zip(starts, ends):
+                if b - a < 2 or b - a > cfg.max_split_parts:
+                    continue
+                idxs = grp[a:b][np.argsort(rstart[grp[a:b]], kind="stable")]
+                for x in range(len(idxs) - 1):
+                    i1, i2 = idxs[x], idxs[x + 1]
+                    if (flag[i1] ^ flag[i2]) & 0x10:
+                        continue
+                    dis_ref = int(pos[i2] - end[i1])
+                    dis_read = int(rstart[i2] - rend[i1])
+                    ins_len = dis_read - dis_ref
+                    del_len = dis_ref - dis_read
+                    if (dis_ref < cfg.min_sv_size
+                            and ins_len >= cfg.min_sv_size
+                            and dis_ref <= 100
+                            and ins_len <= cfg.max_sv_size):
+                        mid = int(pos[i2] + end[i1]) // 2
+                        res.ins_sigs.append(RawSig(mid, ins_len, nm(i1)))
+                    if (del_len >= cfg.min_sv_size and dis_read <= 100
+                            and del_len <= cfg.max_sv_size):
+                        res.del_sigs.append(
+                            RawSig(int(end[i1]), del_len, nm(i1)))
+        res.del_sigs.sort(key=lambda s: s.pos)
+        res.ins_sigs.sort(key=lambda s: s.pos)
+        return res
+
+
 def scan_bam_native(
     path: str, ref_names: list[str], cfg: ReadScanConfig,
-) -> dict[str, ScanResult] | None:
-    """Per-chromosome ScanResult from one native pass, or None w/o lib."""
+) -> NativeScan | None:
+    """Columnar whole-genome scan from one native pass, or None w/o lib."""
     lib = native.get_scan_lib()
     if lib is None:
         return None
@@ -67,62 +184,8 @@ def scan_bam_native(
                              for a in (s_type, s_ref, s_pos, s_len, s_rec,
                                        s_soff, s_slen, blob)])
     lib.bamscan_free()
-    out: dict[str, ScanResult] = {}
-    name_str = np.char.mod("r%x", name)
-    primary = (flag & 0x800) == 0
-    for rid, chrom in enumerate(ref_names):
-        res = ScanResult()
-        # spans from primary records
-        sel = (ref == rid) & primary
-        for i in np.nonzero(sel)[0]:
-            res.read_spans.append((str(name_str[i]), int(pos[i]), int(end[i])))
-        # CIGAR signatures
-        if n_sig:
-            ssel = s_ref[:n_sig] == rid
-            for k in np.nonzero(ssel)[0]:
-                ri = int(s_rec[k])
-                seq = None
-                if s_type[k] == 1:
-                    seq = blob[s_soff[k] : s_soff[k] + s_slen[k]].copy()
-                sig = RawSig(int(s_pos[k]), int(s_len[k]),
-                             str(name_str[ri]), seq)
-                (res.ins_sigs if s_type[k] == 1 else res.del_sigs).append(sig)
-        # split-pair signatures from per-record geometry (cuteSV
-        # analysis_split_read conventions; rstart/rend are already
-        # forward-read-space in the native output)
-        csel = np.nonzero((ref == rid) & (mapq >= cfg.min_mapq)
-                          & (rlen >= cfg.min_read_len))[0]
-        if csel.size:
-            order = np.argsort(name[csel], kind="stable")
-            grp = csel[order]
-            names_g = name[grp]
-            bounds = np.nonzero(np.diff(names_g))[0] + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [len(grp)]])
-            for a, b in zip(starts, ends):
-                if b - a < 2 or b - a > cfg.max_split_parts:
-                    continue
-                idxs = grp[a:b][np.argsort(rstart[grp[a:b]], kind="stable")]
-                for x in range(len(idxs) - 1):
-                    i1, i2 = idxs[x], idxs[x + 1]
-                    if (flag[i1] ^ flag[i2]) & 0x10:
-                        continue
-                    dis_ref = int(pos[i2] - end[i1])
-                    dis_read = int(rstart[i2] - rend[i1])
-                    ins_len = dis_read - dis_ref
-                    del_len = dis_ref - dis_read
-                    nm = str(name_str[i1])
-                    if (dis_ref < cfg.min_sv_size
-                            and ins_len >= cfg.min_sv_size
-                            and dis_ref <= 100
-                            and ins_len <= cfg.max_sv_size):
-                        mid = int(pos[i2] + end[i1]) // 2
-                        res.ins_sigs.append(RawSig(mid, ins_len, nm))
-                    if (del_len >= cfg.min_sv_size and dis_read <= 100
-                            and del_len <= cfg.max_sv_size):
-                        res.del_sigs.append(
-                            RawSig(int(end[i1]), del_len, nm))
-        res.del_sigs.sort(key=lambda s: s.pos)
-        res.ins_sigs.sort(key=lambda s: s.pos)
-        out[chrom] = res
-    return out
+    return NativeScan(
+        ref_names=list(ref_names), cfg=cfg, ref=ref, pos=pos, end=end,
+        mapq=mapq, flag=flag, rstart=rstart, rend=rend, rlen=rlen, name=name,
+        s_type=s_type, s_ref=s_ref, s_pos=s_pos, s_len=s_len, s_rec=s_rec,
+        s_soff=s_soff, s_slen=s_slen, blob=blob, n_sig=n_sig)

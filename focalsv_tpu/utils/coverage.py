@@ -37,19 +37,36 @@ def mean_coverage_from_spans(
 
 
 def estimate_bam_cov(bam: bamio.BamReader, chroms: list[str] | None = None,
-                     **kw) -> float:
-    """Genome-wide mean coverage from primary alignments."""
+                     n_bins: int = 100, bin_size: int = 500_000,
+                     seed: int = 0) -> float:
+    """Genome-wide mean coverage from SAMPLED bins, not a full-BAM walk
+    (reference Auto/estimate_coverage.py:101-125: 100 random 500 kb bins via
+    `samtools depth`).  Bins are allocated across chromosomes proportionally
+    to length; each bin costs one BAI random-access fetch."""
     chroms = chroms or bam.ref_names
     lens = dict(zip(bam.ref_names, bam.ref_lens))
-    total_bases = 0
-    total_len = 0
+    chroms = [c for c in chroms if lens.get(c, 0) > 0]
+    if not chroms:
+        return 0.0
+    total_len = sum(lens[c] for c in chroms)
+    rng = np.random.default_rng(seed)
+    covs: list[float] = []
     for c in chroms:
-        for rec in bam.fetch(c):
-            if rec.is_secondary or rec.is_supplementary or rec.is_unmapped:
-                continue
-            total_bases += rec.reference_end - rec.pos
-        total_len += lens[c]
-    return total_bases / max(total_len, 1)
+        clen = lens[c]
+        bsize = min(bin_size, max(clen // 2, 1))
+        k = max(1, round(n_bins * clen / total_len))
+        starts = rng.integers(0, max(clen - bsize, 1), size=k)
+        for b in starts:
+            b = int(b)
+            bases = 0
+            for rec in bam.fetch(c, b, b + bsize):
+                if (rec.is_secondary or rec.is_supplementary
+                        or rec.is_unmapped):
+                    continue
+                bases += (min(rec.reference_end, b + bsize)
+                          - max(rec.pos, b))
+            covs.append(bases / bsize)
+    return float(np.mean(covs)) if covs else 0.0
 
 
 def interval_depth_features(
