@@ -52,19 +52,22 @@ def run_device_mode(jobs, cfg, workers: int) -> tuple[float, int]:
 
     def one_pass():
         import contextlib
-        with ThreadPoolExecutor(workers) as ex:
-            tiles = list(ex.map(
-                lambda j: (lambda r, f, c: dx.build_tile(r, f, 0, c, cfg))(
-                    *_load_job(j)), jobs))
-        outs = dx.run_device_step(tiles, cfg)
+
+        # the production streaming pipeline: tile builds, device dispatches,
+        # decodes and per-region finishes all overlap
+        def mk_job(j):
+            return lambda: (lambda r, f, c: dx.build_tile(r, f, 0, c, cfg))(
+                *_load_job(j))
+
+        def finish(i, tile, dev):
+            return dx.process_region_device(tile, dev, cfg)
+
         ctx = contextlib.nullcontext()
         if _dp_batching_enabled(cfg):
             from focalsv_tpu.parallel.batch_executor import dp_batching
             ctx = dp_batching()
         with ctx, ThreadPoolExecutor(workers) as ex:
-            res = list(ex.map(
-                lambda i: dx.process_region_device(tiles[i], outs.get(i),
-                                                   cfg), range(len(tiles))))
+            res = dx.streamed_map(ex, [mk_job(j) for j in jobs], cfg, finish)
         return sum(len(r.records) for r in res)
 
     one_pass()                      # untimed: compiles + warms every bucket

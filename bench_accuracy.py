@@ -130,11 +130,17 @@ def make_case(seed: int, case: str, err: dict, ref_len: int = 30_000,
     raise ValueError(case)
 
 
-def _child_init(dtype: str):
+def _child_init(dtype: str, pairhmm: bool = False):
+    import dataclasses
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     from focalsv_tpu.config import preset
-    _state["cfg"] = preset(dtype)
+    cfg = preset(dtype)
+    if pairhmm:
+        cfg = cfg.replace(phasing=dataclasses.replace(cfg.phasing,
+                                                      use_pairhmm=True))
+    _state["cfg"] = cfg
     _state["dtype"] = dtype
 
 
@@ -159,6 +165,8 @@ def main():
     ap.add_argument("--dtypes", default="HIFI,CLR,ONT")
     ap.add_argument("--cases", default=",".join(CASES))
     ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--pairhmm", action="store_true",
+                    help="enable pair-HMM het-site realignment")
     args = ap.parse_args()
 
     import multiprocessing as mp
@@ -170,10 +178,10 @@ def main():
             jobs = [(4000 + 97 * i, case, err) for i in range(args.regions)]
             if args.procs > 1:
                 with ctx.Pool(args.procs, initializer=_child_init,
-                              initargs=(dtype,)) as pool:
+                              initargs=(dtype, args.pairhmm)) as pool:
                     rows = pool.map(_child_run, jobs)
             else:
-                _child_init(dtype)
+                _child_init(dtype, args.pairhmm)
                 rows = [_child_run(j) for j in jobs]
             tp, fp, fn, gt_c, gt_t = (sum(r[i] for r in rows) for i in range(5))
             for i, v in enumerate((tp, fp, fn, gt_c, gt_t)):

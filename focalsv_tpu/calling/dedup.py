@@ -61,6 +61,43 @@ def _components(n: int, links: list[tuple[int, int]]) -> list[list[int]]:
     return list(groups.values())
 
 
+def _tig_intervals(r: VcfRecord) -> dict[str, tuple[int, int]]:
+    """TIG_REGION INFO ('name:lo-hi', comma-joined for 1/1 pairs) parsed to
+    {contig_name: (lo, hi)}."""
+    out: dict[str, tuple[int, int]] = {}
+    raw = r.info.get("TIG_REGION")
+    if not raw:
+        return out
+    for part in str(raw).split(","):
+        if ":" not in part:
+            continue
+        name, span = part.rsplit(":", 1)
+        if "-" not in span:
+            continue
+        lo, hi = span.split("-", 1)
+        try:
+            out[name] = (int(lo), int(hi))
+        except ValueError:
+            continue
+    return out
+
+
+def _same_witness_distinct(ra: VcfRecord, rb: VcfRecord) -> bool:
+    """True when the records share a source contig and their query intervals
+    on every shared contig are disjoint (distinct events on one haplotype
+    path, not redundant reports of one event)."""
+    ta, tb = _tig_intervals(ra), _tig_intervals(rb)
+    shared = set(ta) & set(tb)
+    if not shared:
+        return False
+    for name in shared:
+        lo1, hi1 = ta[name]
+        lo2, hi2 = tb[name]
+        if min(hi1, hi2) - max(lo1, lo2) > 0:
+            return False     # overlapping offsets: genuinely the same event
+    return True
+
+
 def dedup_records(
     records: list[VcfRecord],
     cfg: DedupConfig = DedupConfig(),
@@ -99,6 +136,13 @@ def dedup_records(
             links = []
             for i, j in zip(*np.nonzero(np.triu(m))):
                 gi, gj = int(idx[i]), int(idx[j])
+                if _same_witness_distinct(records[gi], records[gj]):
+                    # both events were extracted from the SAME contig at
+                    # non-overlapping query offsets: one haplotype path
+                    # witnessed two distinct events (e.g. nested insertions
+                    # 130 bp apart whose random sequences flirt with the
+                    # 0.5 edit-similarity line) -- never collapse them
+                    continue
                 if not svtype:
                     a = enc.encode(records[gi].alt[1:])
                     b = enc.encode(records[gj].alt[1:])

@@ -328,11 +328,19 @@ def phase_region(
         keep = np.array([idx_of[int(p)] for p in keep_pos], np.int64)
         sites = HetSites(sites.positions[keep], sites.allele0[keep],
                          sites.allele1[keep])
+    A = allele_matrix(mat, sites)
     if cfg.use_pairhmm:
+        # pair-HMM realignment refines BASE-allele sites only; DEL-allele
+        # phasing markers keep their (exact) pileup projection
         from focalsv_tpu.phasing.realign import realign_allele_matrix
-        A = realign_allele_matrix(reads, sites, ref_codes, region_start)
-    else:
-        A = allele_matrix(mat, sites)
+        base_site = (sites.allele0 <= 3) & (sites.allele1 <= 3)
+        if base_site.any():
+            sub_sites = HetSites(sites.positions[base_site],
+                                 sites.allele0[base_site],
+                                 sites.allele1[base_site])
+            A_hmm = realign_allele_matrix(reads, sub_sites, ref_codes,
+                                          region_start)
+            A[:, base_site] = A_hmm
     # drop error-pileup sites that co-phase with nothing (see purify_sites);
     # columns are removed (not masked) so real blocks stay contiguous
     if A.shape[1] >= 2:

@@ -148,28 +148,48 @@ def _ensure_compile_cache():
         _cache_ready = True
 
 
-def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
-                    mesh=None) -> dict[int, tuple]:
-    """Dispatch every bucketizable tile through the device region step.
-
-    Returns {tile_index: (site_pos, n_sites, A, hp, sym, cov)} as host numpy
-    arrays already cropped to the tile's true (R, L).  Tiles that exceed the
-    tile bounds are absent (host fallback).
-    """
+def _dispatch_one(tiles: list[RegionTile], chunk: list[int], Rp: int, Lp: int,
+                  G: int, cfg: PipelineConfig, mesh):
+    """Pack one chunk of tiles and launch the device step (async); the
+    result's device->host copy is started immediately so transfers overlap
+    compute and each other."""
     from focalsv_tpu.parallel.region_step import (
         phase_consensus_batch_packed, phase_consensus_kwargs,
-        sharded_phase_consensus_packed, unflatten_result)
-    _ensure_compile_cache()
+        sharded_phase_consensus_packed)
     kw = phase_consensus_kwargs(cfg.phasing)
-    S = cfg.phasing.max_sites
+    # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
+    packed = np.full((G, Rp, Lp // 2), 0xFF, np.uint8)
+    rv = np.zeros((G, Rp), bool)
+    for g, ti in enumerate(chunk):
+        t = tiles[ti]
+        R = t.nib.shape[0]
+        packed[g, :R, : t.nib.shape[1]] = t.nib
+        rv[g, :R] = True
+    if mesh is not None and mesh.size > 1:
+        res = sharded_phase_consensus_packed(packed, rv, mesh, L=Lp, **kw)
+    else:
+        res = phase_consensus_batch_packed(packed, rv, L=Lp, **kw)
+    try:
+        res.copy_to_host_async()
+    except Exception:
+        pass     # not all backends expose the async copy
+    return res
+
+
+def dispatch_device_chunks(tiles: list[RegionTile], cfg: PipelineConfig,
+                           mesh=None) -> list[tuple[list[int], int, int, object]]:
+    """Dispatch every bucketizable tile through the device region step.
+
+    Returns [(tile_indices, R_pad, L_pad, device_result)] with all chunks in
+    flight.  Tiles that exceed the tile bounds are absent (host fallback).
+    """
+    _ensure_compile_cache()
     n_devices = mesh.size if mesh is not None else 1
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, t in enumerate(tiles):
         key = _bucket_key(t, cfg)
         if key is not None:
             buckets.setdefault(key, []).append(i)
-    # dispatch every chunk first (JAX dispatch is async, so host tile packing,
-    # device compute, and result transfers all pipeline), then materialize
     pending: list[tuple[list[int], int, int, object]] = []
     for (Rp, Lp), idxs in sorted(buckets.items()):
         G_full = _batch_size((Rp, Lp), cfg, n_devices)
@@ -182,30 +202,93 @@ def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
             G = G_full if remaining > G_small else G_small
             chunk = idxs[c0 : c0 + G]
             c0 += G
-            # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
-            packed = np.full((G, Rp, Lp // 2), 0xFF, np.uint8)
-            rv = np.zeros((G, Rp), bool)
-            for g, ti in enumerate(chunk):
-                t = tiles[ti]
-                R = t.nib.shape[0]
-                packed[g, :R, : t.nib.shape[1]] = t.nib
-                rv[g, :R] = True
-            if mesh is not None and n_devices > 1:
-                res = sharded_phase_consensus_packed(packed, rv, mesh,
-                                                     L=Lp, **kw)
-            else:
-                res = phase_consensus_batch_packed(packed, rv, L=Lp, **kw)
+            res = _dispatch_one(tiles, chunk, Rp, Lp, G, cfg, mesh)
             pending.append((chunk, Rp, Lp, res))
-    out: dict[int, tuple] = {}
+    return pending
+
+
+def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
+                 mesh=None) -> list:
+    """Fully-pipelined region execution: tile builds (pool), device chunk
+    dispatches (as soon as a bucket fills), result decodes and per-region
+    finishes (pool) all overlap.
+
+    ``tile_jobs[i]()`` -> RegionTile | None; ``finish(i, tile, dev)`` -> the
+    per-region result (dev is None for host-fallback tiles).  Returns the
+    per-index results; indices whose tile job returned None yield None.
+    """
+    import concurrent.futures as cf
+
+    _ensure_compile_cache()
+    n_devices = mesh.size if mesh is not None else 1
+    n = len(tile_jobs)
+    tiles: list[RegionTile | None] = [None] * n
+    fut_to_idx = {pool.submit(j): i for i, j in enumerate(tile_jobs)}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    pending: list[tuple[list[int], int, int, object]] = []
+    fin_futs: dict[int, object] = {}
+
+    def flush(key, force: bool):
+        Rp, Lp = key
+        G_full = _batch_size(key, cfg, n_devices)
+        G_small = max(min(G_full, 8), n_devices)
+        idxs = buckets.get(key, [])
+        while idxs and (len(idxs) >= G_full or force):
+            # padded batch size: one of the two compile shapes per bucket
+            G = G_full if len(idxs) > G_small else G_small
+            chunk, idxs = idxs[:G], idxs[G:]
+            res = _dispatch_one(tiles, chunk, Rp, Lp, G, cfg, mesh)
+            pending.append((chunk, Rp, Lp, res))
+        buckets[key] = idxs
+
+    for fut in cf.as_completed(fut_to_idx):
+        i = fut_to_idx[fut]
+        tile = fut.result()
+        tiles[i] = tile
+        if tile is None:
+            continue
+        key = _bucket_key(tile, cfg)
+        if key is None:
+            # host-fallback tile: start its finish immediately
+            fin_futs[i] = pool.submit(finish, i, tile, None)
+            continue
+        buckets.setdefault(key, []).append(i)
+        flush(key, force=False)
+    for key in sorted(buckets):
+        flush(key, force=True)
+    # decode chunks in dispatch order (d2h copies are already in flight)
     for chunk, Rp, Lp, res in pending:
-        bufs = np.asarray(res)
-        for g, ti in enumerate(chunk):
-            t = tiles[ti]
-            R, L = t.mat.shape
-            site_pos, n_sites, A, hp, sym, cov = unflatten_result(
-                bufs[g], Rp, Lp, S)
-            out[ti] = (site_pos[:n_sites], n_sites, A[:R, :n_sites], hp[:R],
-                       sym[:, :L], cov[:, :L])
+        outs = decode_chunk(tiles, chunk, Rp, Lp, res, cfg)
+        for i in chunk:
+            fin_futs[i] = pool.submit(finish, i, tiles[i], outs.get(i))
+    return [fin_futs[i].result() if i in fin_futs else None
+            for i in range(n)]
+
+
+def decode_chunk(tiles: list[RegionTile], chunk: list[int], Rp: int, Lp: int,
+                 res, cfg: PipelineConfig) -> dict[int, tuple]:
+    """Materialize one chunk's flat result buffers (blocks only for this
+    chunk) into per-tile unpacked outputs."""
+    from focalsv_tpu.parallel.region_step import unflatten_result
+    S = cfg.phasing.max_sites
+    bufs = np.asarray(res)
+    out: dict[int, tuple] = {}
+    for g, ti in enumerate(chunk):
+        t = tiles[ti]
+        R, L = t.mat.shape
+        site_pos, n_sites, A, hp, sym, cov = unflatten_result(
+            bufs[g], Rp, Lp, S)
+        out[ti] = (site_pos[:n_sites], n_sites, A[:R, :n_sites], hp[:R],
+                   sym[:, :L], cov[:, :L])
+    return out
+
+
+def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
+                    mesh=None) -> dict[int, tuple]:
+    """Blocking convenience wrapper: dispatch + decode every chunk."""
+    out: dict[int, tuple] = {}
+    for chunk, Rp, Lp, res in dispatch_device_chunks(tiles, cfg, mesh=mesh):
+        out.update(decode_chunk(tiles, chunk, Rp, Lp, res, cfg))
     return out
 
 

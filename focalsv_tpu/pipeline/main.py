@@ -70,6 +70,7 @@ def _write_region_artifacts(rdir: str, rres: RegionResult, chrom: str,
 
 
 _native_scan_cache: dict = {}
+_native_scan_lock = __import__("threading").Lock()
 
 
 def _native_chrom_scan(bam: bamio.BamReader, chrom: str,
@@ -80,17 +81,18 @@ def _native_chrom_scan(bam: bamio.BamReader, chrom: str,
     Python objects materialize lazily one chromosome at a time, so peak
     memory stays O(genome arrays + one chromosome)."""
     key = bam.bgzf.path
-    if key not in _native_scan_cache:
-        _native_scan_cache.clear()     # one BAM's scan resident at a time
-        try:
-            from focalsv_tpu.scan.fast_scan import scan_bam_native
-            _native_scan_cache[key] = scan_bam_native(
-                key, bam.ref_names, cfg.read_scan)
-        except Exception:
-            logger.exception("native scan failed; falling back")
-            _native_scan_cache[key] = None
-    scans = _native_scan_cache[key]
-    return scans.get(chrom) if scans else None
+    with _native_scan_lock:   # concurrent shards must not double-scan
+        if key not in _native_scan_cache:
+            _native_scan_cache.clear()  # one BAM's scan resident at a time
+            try:
+                from focalsv_tpu.scan.fast_scan import scan_bam_native
+                _native_scan_cache[key] = scan_bam_native(
+                    key, bam.ref_names, cfg.read_scan)
+            except Exception:
+                logger.exception("native scan failed; falling back")
+                _native_scan_cache[key] = None
+        scans = _native_scan_cache[key]
+        return scans.get(chrom) if scans else None
 
 
 @dataclass
@@ -122,12 +124,6 @@ def _run_regions_device(bam, fasta, chrom, regions, cfg, out_dir, chrom_len,
 
     from focalsv_tpu.pipeline import device_exec as dx
 
-    def pmap(fn, items):
-        if num_workers > 1 and len(items) > 1:
-            with ThreadPoolExecutor(max_workers=num_workers) as ex:
-                return list(ex.map(fn, items))
-        return [fn(x) for x in items]
-
     def fetch_and_tile(region: Region):
         start = max(0, region.start)
         end = min(chrom_len, region.end)
@@ -143,28 +139,9 @@ def _run_regions_device(bam, fasta, chrom, regions, cfg, out_dir, chrom_len,
             failures.append(region.name())
             return None
 
-    with timer.stage("fetch_tile"):
-        tiles = pmap(fetch_and_tile, regions)
-    live = [i for i, t in enumerate(tiles) if t is not None]
-    with timer.stage("device_phase_consensus"):
-        mesh = None
-        import jax
-        if jax.device_count() > 1:
-            from focalsv_tpu.parallel.mesh import make_mesh
-            mesh = make_mesh()
+    def finish(i: int, tile, dev):
         try:
-            dev_outs = dx.run_device_step([tiles[i] for i in live], cfg,
-                                          mesh=mesh)
-        except Exception:
-            logger.exception("device region step failed; host fallback for "
-                             "all %d regions", len(live))
-            dev_outs = {}
-
-    def finish(j: int):
-        i = live[j]
-        tile = tiles[i]
-        try:
-            rres = dx.process_region_device(tile, dev_outs.get(j), cfg,
+            rres = dx.process_region_device(tile, dev, cfg,
                                             apply_fp_filter=False)
         except Exception:
             logger.exception("region %s failed; skipping",
@@ -177,12 +154,30 @@ def _run_regions_device(bam, fasta, chrom, regions, cfg, out_dir, chrom_len,
             _write_region_artifacts(rdir, rres, chrom, chrom_len)
         return rres
 
+    mesh = None
+    import jax
+    if jax.device_count() > 1:
+        from focalsv_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     batch_ctx = contextlib.nullcontext()
     if _dp_batching_enabled(cfg):
         from focalsv_tpu.parallel.batch_executor import dp_batching
         batch_ctx = dp_batching()
-    with timer.stage("finish_align_call"), batch_ctx:
-        results = pmap(finish, list(range(len(live))))
+    # fully-pipelined streaming: tile builds, device dispatches, decodes and
+    # per-region finishes all overlap (device_exec.streamed_map)
+    tile_jobs = [(lambda r=r: fetch_and_tile(r)) for r in regions]
+    with timer.stage("regions_streamed"), batch_ctx, \
+            ThreadPoolExecutor(max_workers=max(num_workers, 1)) as ex:
+        try:
+            results = dx.streamed_map(ex, tile_jobs, cfg, finish, mesh=mesh)
+        except Exception:
+            logger.exception("device streaming failed; host path for all "
+                             "%d regions", len(regions))
+            results = []
+            for i, r in enumerate(regions):
+                tile = fetch_and_tile(r)
+                results.append(finish(i, tile, None)
+                               if tile is not None else None)
     return results
 
 

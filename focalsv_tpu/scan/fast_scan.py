@@ -146,6 +146,9 @@ class NativeScan:
         return res
 
 
+_scan_lock = __import__("threading").Lock()
+
+
 def scan_bam_native(
     path: str, ref_names: list[str], cfg: ReadScanConfig,
 ) -> NativeScan | None:
@@ -153,6 +156,15 @@ def scan_bam_native(
     lib = native.get_scan_lib()
     if lib is None:
         return None
+    with _scan_lock:
+        return _scan_locked(lib, path, ref_names, cfg)
+
+
+def _scan_locked(lib, path, ref_names, cfg) -> NativeScan | None:
+    # the C++ scanner stages results in process-global state and ctypes
+    # RELEASES the GIL during the call: two concurrent scans double-free it
+    # (observed as an intermittent abort under the concurrent multi-host
+    # test).  The module lock serializes scan+fetch.
     rc = lib.bamscan_run(path.encode(), cfg.min_mapq, cfg.min_sv_size,
                          cfg.min_read_len, 0, 100)
     if rc != 0:
