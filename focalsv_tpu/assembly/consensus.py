@@ -197,7 +197,8 @@ def clip_insertion_candidates(
     reads: list[bamio.BamRecord], idxs: list[int],
     region_start: int, region_len: int,
     min_clip: int = 500, cluster_dist: int = 200, min_side: int = 2,
-    own: set[int] | None = None, rival: set[int] | None = None,
+    own: set[int] | None = None, valid: np.ndarray | None = None,
+    merge_k: int = 15, merge_w: int = 10, merge_max_err: float = 0.15,
 ) -> list[tuple[int, np.ndarray]]:
     """Reconstruct insertions LONGER than a read from soft-clip clusters.
 
@@ -212,41 +213,36 @@ def clip_insertion_candidates(
     inside a novel insertion are unmapped and absent; the reference's
     hifiasm route has the same bound).  Returns [(column, seq)] candidates.
 
-    Haplotype gating: ``own`` = reads exclusively phased to this haplotype,
-    ``rival`` = reads exclusively phased to the sibling haplotype.  A
-    cluster whose in-group clips are all UNPHASED while the sibling
-    contributed phased clips at the same breakpoint belongs to the sibling
-    and is rejected here -- otherwise a het insertion leaks into the clean
-    haplotype's contig through the both-haplotype-allocated unphased reads
-    and gets mis-genotyped 1/1.
+    Haplotype gating (``own`` = reads exclusively phased to this haplotype,
+    ``valid`` = the group's pileup coverage matrix, rows in ``idxs`` order):
+    a cluster is accepted when a read phased to THIS haplotype is clipped at
+    it, or when the clip depth rivals the clean-spanning depth.  Reads that
+    cross the breakpoint WITHOUT a clip carry the reference allele (a
+    clipped read never spans), so a het insertion's clean haplotype (many
+    clean spanners vs a few clips from the sibling's unphased reads)
+    rejects the cluster, while the carrier haplotype and hom clusters
+    (no clean spanners) accept it.
     """
     own = own or set()
-    rival = rival or set()
-    # events: (column, side 0=INS-prefix/1=INS-suffix, seq|None, is_rival, ri)
+    # events: (column, side 0=INS-prefix/1=INS-suffix, seq|None, read idx)
     events: list[tuple] = []
-
-    def collect(ri: int, is_rival: int):
+    for ri in idxs:
         rec = reads[ri]
         cig = rec.cigar
         if len(cig) == 0:
-            return
+            continue
         op0, ln0 = int(cig[0][0]), int(cig[0][1])
         opn, lnn = int(cig[-1][0]), int(cig[-1][1])
         if op0 == bamio.CSOFT_CLIP and ln0 >= min_clip:
             col = rec.pos - region_start
             if 0 <= col < region_len:
                 events.append((col, 1, np.asarray(rec.seq[:ln0], np.uint8),
-                               is_rival, ri))
+                               ri))
         if opn == bamio.CSOFT_CLIP and lnn >= min_clip:
             col = rec.reference_end - region_start
             if 0 <= col < region_len:
                 events.append((col, 0, np.asarray(rec.seq[-lnn:], np.uint8),
-                               is_rival, ri))
-
-    for ri in idxs:
-        collect(ri, 0)
-    for ri in sorted(rival):
-        collect(ri, 1)
+                               ri))
     if not events:
         return []
     events.sort(key=lambda e: e[0])
@@ -254,21 +250,25 @@ def clip_insertion_candidates(
     cur: list[tuple] = []
 
     def flush(cluster):
-        mine = [e for e in cluster if not e[3]]
-        pres = [e[2] for e in mine if e[1] == 0]
-        sufs = [e[2] for e in mine if e[1] == 1]
+        pres = [e[2] for e in cluster if e[1] == 0]
+        sufs = [e[2] for e in cluster if e[1] == 1]
         if len(pres) < min_side or len(sufs) < min_side:
             return
-        own_here = any(e[4] in own for e in mine)
-        rival_here = any(e[3] for e in cluster)
-        if rival_here and not own_here:
-            return   # the sibling haplotype owns this breakpoint
-        seq = _merge_prefix_suffix(max(pres, key=len), max(sufs, key=len))
+        col = int(np.median([e[0] for e in cluster]))
+        own_here = any(e[3] in own for e in cluster)
+        if not own_here and valid is not None:
+            lo = max(0, col - 40)
+            hi = min(region_len - 1, col + 40)
+            clean = int((valid[:, lo] & valid[:, hi]).sum())
+            if 2 * len(cluster) < clean:
+                return   # this haplotype predominantly spans cleanly
+        seq = _merge_prefix_suffix(max(pres, key=len), max(sufs, key=len),
+                                   k=merge_k, w=merge_w,
+                                   max_err=merge_max_err)
         if seq is not None:
-            cols = [e[0] for e in mine]
-            out.append((int(np.median(cols)), seq))
+            out.append((col, seq))
 
-    for ev in events + [(1 << 60, 0, None, 0, -1)]:
+    for ev in events + [(1 << 60, 0, None, -1)]:
         if cur and ev[0] - cur[-1][0] > cluster_dist:
             flush(cur)
             cur = []
@@ -280,13 +280,18 @@ def clip_insertion_candidates(
 def add_clip_insertions(ins_at: dict[int, np.ndarray],
                         reads, idxs, region_start: int, region_len: int,
                         own: set[int] | None = None,
-                        rival: set[int] | None = None,
-                        guard: int = 300) -> dict[int, np.ndarray]:
+                        valid: np.ndarray | None = None,
+                        guard: int = 300,
+                        cfg: AssemblyConfig = AssemblyConfig(),
+                        ) -> dict[int, np.ndarray]:
     """Merge clip-cluster insertion candidates into the decided-insertion
     map (CIGAR-op insertions win where both exist)."""
     for col, seq in clip_insertion_candidates(reads, idxs, region_start,
                                               region_len, own=own,
-                                              rival=rival):
+                                              valid=valid,
+                                              merge_k=cfg.clip_merge_k,
+                                              merge_w=cfg.clip_merge_w,
+                                              merge_max_err=cfg.clip_merge_max_err):
         if any(abs(col - p) <= guard for p in ins_at):
             continue
         ins_at[col] = seq
@@ -300,7 +305,6 @@ def consensus_contig(
     min_ins_frac: float = 0.4,
     min_ins_support: int = 2,
     own: set[int] | None = None,
-    rival: set[int] | None = None,
 ) -> np.ndarray | None:
     """Build one haplotype consensus contig over the region window."""
     if len(idxs) < cfg.min_reads:
@@ -310,7 +314,8 @@ def consensus_contig(
     ins_at = decide_insertions(mat != NOCOV, inss, region_len,
                                min_ins_frac, min_ins_support)
     ins_at = add_clip_insertions(ins_at, reads, idxs, region_start,
-                                 region_len, own=own, rival=rival)
+                                 region_len, own=own, valid=mat != NOCOV,
+                                 cfg=cfg)
     return stitch_contig(sym, cov, ins_at)
 
 
@@ -342,13 +347,13 @@ def assemble_haplotypes(
     hp2: dict[str, np.ndarray] = {}
     for (ps, hp), idxs in sorted(groups.items()):
         tgt = hp1 if hp in (0, 1) else hp2
-        own, rival = group_exclusive_sets(groups, ps, hp)
+        own, _rival = group_exclusive_sets(groups, ps, hp)
         if cfg.method == "olc":
             from focalsv_tpu.assembly.olc import assemble_olc
             contig = assemble_olc([reads[i].seq for i in idxs], cfg)
         else:
             contig = consensus_contig(reads, idxs, region_start, region_len,
-                                      cfg, own=own, rival=rival)
+                                      cfg, own=own)
         if contig is None:
             continue
         name = f"{name_prefix}_PS{ps}_hp{max(hp,1)}"

