@@ -69,6 +69,32 @@ def _inv_trial(rng, sv: bool):
     return truth, [(c.start, c.end) for c in calls]
 
 
+def _het_inv_trial(rng, sv: bool):
+    """Heterozygous INV: half the reads come from the inverted haplotype,
+    half from the reference haplotype (halved signal + clean-strand noise
+    floor -- the stressor the hom trial cannot probe)."""
+    import numpy as np
+    from focalsv_tpu.complexsv import auto as cauto
+    from focalsv_tpu.ops import encode as enc
+
+    ref = rng.integers(0, 4, 50_000).astype(np.uint8)
+    truth = None
+    donor = ref
+    if sv:
+        size = int(rng.integers(3_000, 12_000))
+        a = int(rng.integers(12_000, 50_000 - size - 12_000))
+        b = a + size
+        donor = np.concatenate([ref[:a], enc.revcomp(ref[a:b]), ref[b:]])
+        truth = (a, b)
+    reads = _sample_reads(donor, rng, 23, 12_000) + \
+        _sample_reads(ref, rng, 22, 12_000)
+    records = _align_reads(reads, ref)
+    res = cauto.call_complex_auto({"chr21": records}, "HIFI")
+    calls = cauto.filter_tra_inv(res.invs.get("chr21", []), min_sup=2,
+                                 min_mapq=5, min_size=1000)
+    return truth, [(c.start, c.end) for c in calls]
+
+
 def _dup_trial(rng, sv: bool):
     """One tandem-DUP region (dup longer than read length -> split route)."""
     import numpy as np
@@ -172,10 +198,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=12)
     ap.add_argument("--tol", type=int, default=1000)
-    ap.add_argument("--types", default="INV,DUP,TRA")
+    ap.add_argument("--types", default="INV,HETINV,DUP,TRA")
     args = ap.parse_args()
 
-    fns = {"INV": _inv_trial, "DUP": _dup_trial, "TRA": _tra_trial}
+    fns = {"INV": _inv_trial, "HETINV": _het_inv_trial, "DUP": _dup_trial,
+           "TRA": _tra_trial}
     rows = []
     for i, name in enumerate(args.types.split(",")):
         row = _run_type(name, fns[name], args.trials, args.tol,

@@ -65,3 +65,30 @@ def test_eval_cli(tmp_path):
     out = json.loads(buf.getvalue())
     assert out["DEL"]["recall"] == 1.0
     assert out["DEL"]["gt_concordance"] == 1.0
+
+
+def test_callset_to_bed_converter(tmp_path):
+    """Reference excel_to_bed semantics on a CSV export (the xlsx reader
+    needs openpyxl, absent here)."""
+    from focalsv_tpu.tools.callset_to_bed import convert, main
+
+    csv = tmp_path / "calls.csv"
+    csv.write_text(
+        ",chrom1,pos1,chrom2,pos2,svsize,svtype\n"
+        "0,chr1,1000000,chr1,1200000,200000,DUP\n"
+        "1,chr2,5000000,chr2,11000000,6000000,DUP\n"   # >= 5 Mb: dropped
+        "2,chr3,2000000,chr3,2500000,500000,INV\n"
+        "3,chr4,9000000,chr7,3000000,0,TRA\n"
+        "4,chrX,100000,chrX,200000,100000,DUP\n"       # non-autosome: dropped
+    )
+    out = tmp_path / "regions.bed"
+    assert main([str(csv), str(out)]) == 0
+    rows = [line.split("\t") for line in out.read_text().splitlines()]
+    assert rows[0] == ["chr1", "950000", "1250000", "DUP"]
+    # INV contributes one window per breakend
+    assert ["chr3", "1950000", "2050000", "INV"] in rows
+    assert ["chr3", "2450000", "2550000", "INV"] in rows
+    # TRA keeps both chromosomes
+    assert ["chr4", "8950000", "9050000", "TRA"] in rows
+    assert ["chr7", "2950000", "3050000", "TRA"] in rows
+    assert not any(r[0] in ("chr2", "chrX") for r in rows)
