@@ -78,6 +78,34 @@ def _merge_ops(ops: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return out
 
 
+def implied_alignments(
+    q_name: str, q_len: int,
+    segments: list[tuple[int, list[tuple[int, int]]]],
+    t_name: str = "ref",
+) -> list[Alignment]:
+    """Alignment objects from a contig's construction-implied segments
+    (assembly/consensus.py::stitch_contig_segments).
+
+    Guided-consensus contigs are built column-by-column from the region
+    reference, so their placement is known without re-alignment; mapq is the
+    aligner's unambiguous-placement value (the reference's minimap2 gives the
+    same contigs ~60, DipPAV mapq gates are 50/50).  The segment with the
+    longest aligned span is primary, mirroring the aligner's best-chain rule.
+    """
+    out: list[Alignment] = []
+    for t0, cig in segments:
+        aligned = sum(l for op, l in cig if op == bamio.CMATCH)
+        out.append(Alignment(
+            q_name=q_name, t_name=t_name, t_start=int(t0), strand=0,
+            cigar=[(int(op), int(ln)) for op, ln in cig],
+            score=float(aligned), mapq=60, q_len=q_len))
+    if out:
+        primary = max(range(len(out)), key=lambda i: out[i].score)
+        for i, a in enumerate(out):
+            a.is_supplementary = i != primary
+    return out
+
+
 class Aligner:
     """Reusable aligner against one target sequence (e.g. a region reference)."""
 

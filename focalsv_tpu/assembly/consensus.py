@@ -141,13 +141,52 @@ def stitch_contig(
 ) -> np.ndarray | None:
     """Emit the consensus: per column the voted base unless deleted/uncovered,
     with decided insertions spliced in at their columns."""
+    contig, _ = stitch_contig_segments(sym, cov, ins_at)
+    return contig
+
+
+def _md_runs(pos_seg: np.ndarray) -> list[tuple[int, int]]:
+    """M/D op runs over an ascending emitted-column array (gaps -> D)."""
+    ops: list[tuple[int, int]] = []
+    if pos_seg.size == 0:
+        return ops
+    d = np.diff(pos_seg)
+    seg_start = 0
+    for b in np.nonzero(d > 1)[0]:
+        ops.append((bamio.CMATCH, int(b - seg_start + 1)))
+        ops.append((bamio.CDEL, int(d[b] - 1)))
+        seg_start = int(b) + 1
+    ops.append((bamio.CMATCH, int(len(pos_seg) - seg_start)))
+    return ops
+
+
+def stitch_contig_segments(
+    sym: np.ndarray, cov: np.ndarray, ins_at: dict[int, np.ndarray],
+    max_gap: int = 10_000,
+) -> tuple[np.ndarray | None, list[tuple[int, list[tuple[int, int]]]]]:
+    """stitch_contig plus the contig's *implied alignment* to the region.
+
+    A guided-consensus contig knows its own placement by construction: every
+    emitted base sits at a known reference column and every spliced insertion
+    at a known cut point, so the contig<->reference CIGAR follows directly --
+    no seed-chain-extend re-alignment is needed (the reference must re-align
+    because hifiasm contigs are coordinate-free, DipPAV_variant_call.py:103;
+    this framework's production assembly is not).
+
+    Returns (contig, segments); segments is a list of
+    (t_start_region_local, cigar ops incl. soft clips), split wherever a
+    single gap exceeds ``max_gap`` (mirroring the aligner's chain gap bound,
+    AlignConfig.chain_max_gap, so split-alignment SV geometry is preserved).
+    Empty when the contig has no reference-anchored bases (caller falls back
+    to the real aligner).
+    """
     take = sym < 4  # A/C/G/T columns (N, DEL, or NOCOV are skipped)
     covered = cov > 0
     emit_base = take & covered
     positions = np.nonzero(emit_base)[0]
     base_vals = sym[positions]
     if positions.size == 0 and not ins_at:
-        return None
+        return None, []
     cut_points = sorted(ins_at)
     out: list[np.ndarray] = []
     start = 0
@@ -158,7 +197,90 @@ def stitch_contig(
         start = cp
     out.append(base_vals[positions >= start].astype(np.uint8))
     contig = np.concatenate(out) if out else np.zeros(0, np.uint8)
-    return contig if len(contig) else None
+    if len(contig) == 0:
+        return None, []
+    if positions.size == 0:
+        return contig, []      # insertion-only contig: nothing to anchor
+    # --- op stream over the anchored span (M/D from emitted columns, I at
+    # cut points; an insertion inside a deleted stretch splits the D run) ---
+    stream: list[tuple[int, int]] = []
+    prev = None                # last reference column consumed
+    lo = 0
+    for cp in cut_points:
+        seg = positions[(positions >= lo) & (positions < cp)]
+        if seg.size:
+            if prev is not None and int(seg[0]) > prev + 1:
+                stream.append((bamio.CDEL, int(seg[0]) - prev - 1))
+            stream.extend(_md_runs(seg))
+            prev = int(seg[-1])
+        if prev is not None and cp > prev + 1:
+            stream.append((bamio.CDEL, cp - prev - 1))
+            prev = cp - 1
+        stream.append((bamio.CINS, len(ins_at[cp])))
+        lo = cp
+    seg = positions[positions >= lo]
+    if seg.size:
+        if prev is not None and int(seg[0]) > prev + 1:
+            stream.append((bamio.CDEL, int(seg[0]) - prev - 1))
+        stream.extend(_md_runs(seg))
+    # --- split into alignment segments at gaps > max_gap -------------------
+    raw: list[tuple[int, int, list[tuple[int, int]]]] = []  # (t0, q0, ops)
+    cur: list[tuple[int, int]] = []
+    q = 0
+    t = int(positions[0])
+    cur_t, cur_q = t, 0
+    for op, ln in stream:
+        if ln <= 0:
+            continue
+        oversize = ln > max_gap and op in (bamio.CDEL, bamio.CINS)
+        if (oversize or not cur) and op != bamio.CMATCH:
+            # gap at a segment boundary: close the segment (oversize) or
+            # absorb a leading gap into t_start / the leading clip
+            if oversize and cur:
+                raw.append((cur_t, cur_q, cur))
+                cur = []
+            if op == bamio.CDEL:
+                t += ln
+            else:
+                q += ln
+            if not cur:
+                cur_t, cur_q = t, q
+            continue
+        if cur and cur[-1][0] == op:
+            cur[-1] = (op, cur[-1][1] + ln)
+        else:
+            cur.append((op, ln))
+        if op == bamio.CMATCH:
+            q += ln
+            t += ln
+        elif op == bamio.CINS:
+            q += ln
+        else:
+            t += ln
+    if cur:
+        raw.append((cur_t, cur_q, cur))
+    # --- finalize: strip dangling gap ops, wrap soft clips -----------------
+    segments: list[tuple[int, list[tuple[int, int]]]] = []
+    q_len = len(contig)
+    for t0, q0, ops in raw:
+        while ops and ops[-1][0] != bamio.CMATCH:
+            ops.pop()
+        while ops and ops[0][0] != bamio.CMATCH:
+            op, ln = ops.pop(0)
+            if op == bamio.CDEL:
+                t0 += ln
+            else:
+                q0 += ln
+        if not ops:
+            continue
+        q_end = q0 + sum(l for op, l in ops if bamio.CONSUMES_QUERY[op])
+        cig = list(ops)
+        if q0 > 0:
+            cig.insert(0, (bamio.CSOFT_CLIP, q0))
+        if q_end < q_len:
+            cig.append((bamio.CSOFT_CLIP, q_len - q_end))
+        segments.append((t0, cig))
+    return contig, segments
 
 
 def _merge_prefix_suffix(P: np.ndarray, S: np.ndarray, k: int = 15,
@@ -307,8 +429,24 @@ def consensus_contig(
     own: set[int] | None = None,
 ) -> np.ndarray | None:
     """Build one haplotype consensus contig over the region window."""
+    contig, _ = consensus_contig_segments(reads, idxs, region_start,
+                                          region_len, cfg, min_ins_frac,
+                                          min_ins_support, own)
+    return contig
+
+
+def consensus_contig_segments(
+    reads: list[bamio.BamRecord], idxs: list[int],
+    region_start: int, region_len: int,
+    cfg: AssemblyConfig = AssemblyConfig(),
+    min_ins_frac: float = 0.4,
+    min_ins_support: int = 2,
+    own: set[int] | None = None,
+) -> tuple[np.ndarray | None, list]:
+    """consensus_contig plus its implied alignment segments
+    (stitch_contig_segments)."""
     if len(idxs) < cfg.min_reads:
-        return None
+        return None, []
     mat, inss = pileup_with_dels(reads, idxs, region_start, region_len)
     sym, cov = _column_vote(mat)
     ins_at = decide_insertions(mat != NOCOV, inss, region_len,
@@ -316,7 +454,7 @@ def consensus_contig(
     ins_at = add_clip_insertions(ins_at, reads, idxs, region_start,
                                  region_len, own=own, valid=mat != NOCOV,
                                  cfg=cfg)
-    return stitch_contig(sym, cov, ins_at)
+    return stitch_contig_segments(sym, cov, ins_at)
 
 
 def group_exclusive_sets(groups: dict, ps: int, hp: int
@@ -337,28 +475,38 @@ def assemble_haplotypes(
     region_start: int, region_len: int,
     cfg: AssemblyConfig = AssemblyConfig(),
     name_prefix: str = "region",
+    alns_out: dict[str, list] | None = None,
 ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
     """Per (phase-set, haplotype) consensus -> {name: contig} per haplotype.
 
     Contig naming mirrors the reference's `>a_hp{1,2}_N` convention
     (4_sv_calling/rename_fa.py:15-23) so the hp tag is parseable downstream.
+    With ``alns_out`` the guided path also records each contig's implied
+    alignment segments (region-local; stitch_contig_segments), letting the
+    variant caller skip the seed-chain-extend re-alignment.
     """
     hp1: dict[str, np.ndarray] = {}
     hp2: dict[str, np.ndarray] = {}
     for (ps, hp), idxs in sorted(groups.items()):
         tgt = hp1 if hp in (0, 1) else hp2
         own, _rival = group_exclusive_sets(groups, ps, hp)
+        segs: list = []
         if cfg.method == "olc":
             from focalsv_tpu.assembly.olc import assemble_olc
             contig = assemble_olc([reads[i].seq for i in idxs], cfg)
         else:
-            contig = consensus_contig(reads, idxs, region_start, region_len,
-                                      cfg, own=own)
+            contig, segs = consensus_contig_segments(
+                reads, idxs, region_start, region_len, cfg, own=own)
         if contig is None:
             continue
         name = f"{name_prefix}_PS{ps}_hp{max(hp,1)}"
         tgt[name] = contig
+        if alns_out is not None and segs:
+            alns_out[name] = segs
         if hp == 0:
             # fully-unphased region: same consensus serves both haplotypes
-            hp2[f"{name_prefix}_PS{ps}_hp2"] = contig
+            name2 = f"{name_prefix}_PS{ps}_hp2"
+            hp2[name2] = contig
+            if alns_out is not None and segs:
+                alns_out[name2] = segs
     return hp1, hp2

@@ -32,6 +32,32 @@ def align_contigs(
     return out
 
 
+def _contig_alignments(
+    contigs: dict[str, np.ndarray],
+    implied: dict[str, list] | None,
+    make_aligner,
+    chrom: str,
+) -> list:
+    """Per contig: use the construction-implied alignment when present
+    (guided consensus knows its own placement, stitch_contig_segments),
+    otherwise fall back to the seed-chain-extend aligner (OLC/de-novo
+    contigs, insertion-only contigs).  The aligner is built lazily -- the
+    minimizer index over the region reference is pure overhead when every
+    contig carries an implied alignment (the production guided path)."""
+    from focalsv_tpu.align_engine import implied_alignments
+    out = []
+    aligner = None
+    for name, seq in contigs.items():
+        segs = (implied or {}).get(name)
+        if segs:
+            out.extend(implied_alignments(name, len(seq), segs, t_name=chrom))
+        else:
+            if aligner is None:
+                aligner = make_aligner()
+            out.extend(aligner.align(np.asarray(seq, np.uint8), q_name=name))
+    return out
+
+
 def paired_sig_to_vcf(
     paired: list[PairedSig],
     chrom: str,
@@ -102,13 +128,26 @@ def call_region_variants(
     ref_offset: int,
     chrom: str,
     cfg: PipelineConfig,
+    implied_alns: dict[str, list] | None = None,
 ) -> list[VcfRecord]:
-    """Full DipPAV path for one region/chromosome worth of contigs."""
-    aligner = Aligner(np.asarray(ref, np.uint8), cfg.align, t_name=chrom)
+    """Full DipPAV path for one region/chromosome worth of contigs.
+
+    ``implied_alns`` maps contig name -> region-local alignment segments from
+    guided consensus (stitch_contig_segments); contigs present there skip the
+    seed-chain-extend re-alignment entirely.
+    """
+    aligner_holder: list = []
+
+    def make_aligner():
+        if not aligner_holder:
+            aligner_holder.append(
+                Aligner(np.asarray(ref, np.uint8), cfg.align, t_name=chrom))
+        return aligner_holder[0]
+
     names1 = list(contigs_hp1)
     names2 = list(contigs_hp2)
-    aln1 = align_contigs(contigs_hp1, aligner)
-    aln2 = align_contigs(contigs_hp2, aligner)
+    aln1 = _contig_alignments(contigs_hp1, implied_alns, make_aligner, chrom)
+    aln2 = _contig_alignments(contigs_hp2, implied_alns, make_aligner, chrom)
     # alignments carry region-local coordinates; shift to genome space
     for a in aln1 + aln2:
         a.t_start += ref_offset

@@ -93,7 +93,9 @@ def somatic_call(
     """Tumor-only (SUPP_VEC=01) SVs per the Table-5 protocol."""
     def prep(recs):
         if pass_only:
-            recs = [r for r in recs if r.filter in ("PASS", ".")]
+            # exact reference semantics: awk '$7 == "PASS"' keeps PASS only
+            # ('.'-filtered records are dropped, get_somatic.sh)
+            recs = [r for r in recs if r.filter == "PASS"]
         return recs
 
     normal = prep(normal_records)
@@ -109,7 +111,14 @@ def somatic_call(
         for r in recs:
             if _is_bnd(r) or r.svtype in ("INS", "DEL"):
                 continue
-            size = r.svlen
+            # symbolic-ALT INV/DUP records often carry only INFO/END (no
+            # SVLEN); SURVIVOR sizes those as END-POS -- falling back to
+            # allele-length difference (~4 for '<INV>') would drop them
+            # below every band
+            if "SVLEN" in r.info:
+                size = r.svlen
+            else:
+                size = max(0, _end_of(r) - r.pos)
             if size >= lo and (hi is None or size <= hi):
                 out.append(r)
         return out

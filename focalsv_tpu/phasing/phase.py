@@ -436,6 +436,11 @@ def phased_snv_records(pr: PhaseResult, ref_codes: np.ndarray,
         a0, a1 = int(pr.site_allele0[s]), int(pr.site_allele1[s])
         if a0 > 3 or a1 > 3:
             continue   # DEL-allele phasing marker, not a SNV
+        if a0 != refb and a1 != refb:
+            # triallelic het (both alleles non-reference): a biallelic 0/1
+            # record cannot represent which haplotype carries which ALT --
+            # skip rather than emit a misleading 1|1
+            continue
         hap1_allele = a0 if h[s] == 0 else a1
         hap2_allele = a1 if h[s] == 0 else a0
         # ALT = the first non-reference allele (a0 is the major allele)

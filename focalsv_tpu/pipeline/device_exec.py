@@ -30,7 +30,8 @@ import numpy as np
 from focalsv_tpu.assembly.consensus import (NOCOV, add_clip_insertions,
                                             decide_insertions,
                                             group_exclusive_sets,
-                                            pileup_with_dels, stitch_contig)
+                                            pileup_with_dels,
+                                            stitch_contig_segments)
 from focalsv_tpu.config import PipelineConfig
 from focalsv_tpu.io import bam as bamio
 from focalsv_tpu.phasing.phase import (PhaseResult, group_reads_by_block,
@@ -336,6 +337,7 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
     valid = tile.mat != NOCOV
     for (psid, k), idxs in sorted(groups.items()):
         tgt = hp1 if k in (0, 1) else hp2
+        segs: list = []
         if cfg.assembly.method == "olc":
             from focalsv_tpu.assembly.olc import assemble_olc
             contig = assemble_olc([tile.usable[i].seq for i in idxs],
@@ -351,13 +353,18 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
             ins_at = add_clip_insertions(ins_at, tile.usable, idxs, start, L,
                                          own=own, valid=valid[idxs],
                                          cfg=cfg.assembly)
-            contig = stitch_contig(sym[row], cov[row], ins_at)
+            contig, segs = stitch_contig_segments(sym[row], cov[row], ins_at)
         if contig is None:
             continue
         name = f"{name_prefix}_PS{psid}_hp{max(k, 1)}"
         tgt[name] = contig
+        if segs:
+            res.contig_alns[name] = segs
         if k == 0:
-            hp2[f"{name_prefix}_PS{psid}_hp2"] = contig
+            name2 = f"{name_prefix}_PS{psid}_hp2"
+            hp2[name2] = contig
+            if segs:
+                res.contig_alns[name2] = segs
     res.n_contigs = len(hp1) + len(hp2)
     res.usable_reads = tile.usable
     res.phase_hp, res.phase_ps = pr.hp, pr.ps

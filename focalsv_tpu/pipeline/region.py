@@ -56,6 +56,9 @@ class RegionResult:
     snv_records: list = field(default_factory=list)
     contigs_hp1: dict = field(default_factory=dict)
     contigs_hp2: dict = field(default_factory=dict)
+    # contig name -> implied alignment segments (guided consensus only;
+    # lets the variant caller skip contig->ref re-alignment)
+    contig_alns: dict = field(default_factory=dict)
 
 
 def process_region(
@@ -83,7 +86,8 @@ def process_region(
     # 2. assemble
     hp1, hp2 = assemble_haplotypes(usable, groups, region_start, region_len,
                                    cfg.assembly,
-                                   name_prefix=f"{chrom}_S{region_start}")
+                                   name_prefix=f"{chrom}_S{region_start}",
+                                   alns_out=res.contig_alns)
     res.n_contigs = len(hp1) + len(hp2)
     res.usable_reads = usable
     res.phase_hp, res.phase_ps = pr.hp, pr.ps
@@ -111,8 +115,9 @@ def finish_region_result(
     hp1, hp2 = res.contigs_hp1, res.contigs_hp2
     if not hp1 and not hp2:
         return
-    # 3. align contigs + call variants
-    records = call_region_variants(hp1, hp2, ref_codes, region_start, chrom, cfg)
+    # 3. align contigs + call variants (implied alignments skip the aligner)
+    records = call_region_variants(hp1, hp2, ref_codes, region_start, chrom,
+                                   cfg, implied_alns=res.contig_alns)
     # 4. refine: read-signature support filter + dedup
     if apply_fp_filter and records:
         read_sigs = extract_read_sigs(

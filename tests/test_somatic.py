@@ -48,3 +48,20 @@ def test_somatic_call_protocol():
     got = sorted((r.chrom, r.pos, r.svtype) for r in somatic)
     assert got == [("chr1", 40_000, "DUP"), ("chr3", 7_000, "TRA")]
     assert all(r.info["SUPP_VEC"] == "01" for r in somatic)
+
+
+def test_end_only_records_sized_from_end():
+    # symbolic-ALT INV with only INFO/END (no SVLEN): SURVIVOR sizes it as
+    # END-POS; allele-length fallback (~4 for '<INV>') would drop it
+    r = VcfRecord("chr1", 20_000, "v", "N", "<INV>", ".", "PASS",
+                  {"SVTYPE": "INV", "END": 20_800}, "0/1")
+    somatic = somatic_call([], [r])
+    assert [(s.pos, s.svtype) for s in somatic] == [(20_000, "INV")]
+
+
+def test_pass_only_drops_dot_filter():
+    # reference protocol: awk '$7 == "PASS"' -- '.' records are excluded
+    r = VcfRecord("chr1", 20_000, "v", "N", "<INV>", ".", ".",
+                  {"SVTYPE": "INV", "SVLEN": 500, "END": 20_500}, "0/1")
+    assert somatic_call([], [r]) == []
+    assert len(somatic_call([], [r], pass_only=False)) == 1
