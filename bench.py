@@ -10,7 +10,7 @@ kernels) run under JAX_PLATFORMS=cpu with 8 workers on the identical region
 set.  That host path is itself far faster than the reference's
 Python+subprocess stack (which shells out one longshot + hifiasm + minimap2
 process per region), so the reported vs_baseline is a conservative LOWER
-bound on the speedup over the actual reference.
+bound on the speedup over the actual reference pipeline.
 
 The measured number is the production device path: bucketized pileup tiles
 -> one compiled phasing+consensus dispatch per bucket -> host finish with
@@ -19,7 +19,12 @@ code path `focalsv-tpu` runs.  Reading each region's BAM from disk is
 *included* in the timed section for both modes (the reference's per-region
 stack also starts from a cropped region BAM, 2_phasing/longshot.py:20).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Workload: 256 regions with a realistic size mix (FocalSV auto regions are
+signature clusters +-7 kb flank, target BEDs are bench SVs +-50 kb:
+0_define_region.py:462, target_sv/run.sh:5-6), 30x coverage.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
+commented stage breakdown (host/device time split, device-busy fraction).
 """
 
 import argparse
@@ -29,6 +34,10 @@ import subprocess
 import sys
 import tempfile
 import time
+
+# size mix cycled over regions: auto-mode cluster regions (~15-40 kb) and
+# target-mode SV +-50 kb windows
+SIZE_MIX = (15_000, 30_000, 50_000, 100_000)
 
 
 def _load_job(job):
@@ -41,16 +50,16 @@ def _load_job(job):
     return reads, ref, chrom
 
 
-def run_device_mode(jobs, cfg, workers: int) -> tuple[float, int]:
-    """The production path: tile -> device batch -> host finish."""
-    from concurrent.futures import ThreadPoolExecutor
+def run_device_mode(jobs, cfg, workers: int):
+    """The production path: tile -> device batch -> host finish.
 
-    import jax
+    Returns (seconds, n_records, stats dict with the stage breakdown)."""
+    from concurrent.futures import ThreadPoolExecutor
 
     from focalsv_tpu.pipeline import device_exec as dx
     from focalsv_tpu.pipeline.main import _dp_batching_enabled
 
-    def one_pass():
+    def one_pass(stats=None):
         import contextlib
 
         # the production streaming pipeline: tile builds, device dispatches,
@@ -67,13 +76,15 @@ def run_device_mode(jobs, cfg, workers: int) -> tuple[float, int]:
             from focalsv_tpu.parallel.batch_executor import dp_batching
             ctx = dp_batching()
         with ctx, ThreadPoolExecutor(workers) as ex:
-            res = dx.streamed_map(ex, [mk_job(j) for j in jobs], cfg, finish)
+            res = dx.streamed_map(ex, [mk_job(j) for j in jobs], cfg, finish,
+                                  stats=stats)
         return sum(len(r.records) for r in res)
 
     one_pass()                      # untimed: compiles + warms every bucket
+    stats = {}
     t0 = time.perf_counter()
-    n_records = one_pass()
-    return time.perf_counter() - t0, n_records
+    n_records = one_pass(stats)
+    return time.perf_counter() - t0, n_records, stats
 
 
 def run_host_mode(jobs, cfg, workers: int) -> tuple[float, int]:
@@ -97,11 +108,31 @@ def run_host_mode(jobs, cfg, workers: int) -> tuple[float, int]:
     return time.perf_counter() - t0, sum(counts)
 
 
+def _make_jobs(tmp, n_regions, coverage, ref_len=None):
+    import numpy as np
+
+    from focalsv_tpu.testing import simulate as sim
+    jobs = []
+    for i in range(n_regions):
+        L = ref_len if ref_len else SIZE_MIX[i % len(SIZE_MIX)]
+        bam = os.path.join(tmp, f"region_{i}_{L}.bam")
+        ref = os.path.join(tmp, f"region_{i}_{L}.ref.npy")
+        if not (os.path.exists(bam) and os.path.exists(ref)):
+            r = sim.simulate_region(seed=1000 + i, ref_len=L,
+                                    coverage=coverage,
+                                    n_snps=max(10, L // 1200))
+            sim.write_region_bam(r, bam)
+            np.save(ref, r.ref)
+        jobs.append((bam, ref, "chr21"))
+    return jobs
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--regions", type=int, default=32)
-    ap.add_argument("--ref-len", type=int, default=30_000)
-    ap.add_argument("--coverage", type=float, default=20.0)
+    ap.add_argument("--regions", type=int, default=256)
+    ap.add_argument("--ref-len", type=int, default=None,
+                    help="fixed region size (default: realistic size mix)")
+    ap.add_argument("--coverage", type=float, default=30.0)
     ap.add_argument("--dtype", default="HIFI")
     ap.add_argument("--mode", default="device", choices=["device", "host"])
     ap.add_argument("--workers", type=int, default=8)
@@ -111,29 +142,18 @@ def main():
                     help="reuse pre-simulated region inputs from this dir")
     args = ap.parse_args()
 
-    import numpy as np
-
     from focalsv_tpu.config import preset
-    from focalsv_tpu.testing import simulate as sim
 
     cfg = preset(args.dtype)
 
     # pre-simulate inputs to disk (not part of the timed section): one
     # region BAM + reference window per region, the crop-step layout
-    tmp = args.jobs_dir or tempfile.mkdtemp(prefix="focalsv_bench_")
-    jobs = []
-    for i in range(args.regions):
-        bam = os.path.join(tmp, f"region_{i}.bam")
-        ref = os.path.join(tmp, f"region_{i}.ref.npy")
-        if not (os.path.exists(bam) and os.path.exists(ref)):
-            r = sim.simulate_region(seed=1000 + i, ref_len=args.ref_len,
-                                    coverage=args.coverage, n_snps=25)
-            sim.write_region_bam(r, bam)
-            np.save(ref, r.ref)
-            chrom = r.chrom
-        else:
-            chrom = "chr21"
-        jobs.append((bam, ref, chrom))
+    tmp = args.jobs_dir or os.path.join(
+        tempfile.gettempdir(),
+        f"focalsv_bench_r{args.regions}_c{int(args.coverage)}"
+        f"_l{args.ref_len or 'mix'}")
+    os.makedirs(tmp, exist_ok=True)
+    jobs = _make_jobs(tmp, args.regions, args.coverage, args.ref_len)
 
     if args.mode == "host":
         dt, n_records = run_host_mode(jobs, cfg, args.workers)
@@ -149,12 +169,15 @@ def main():
     # measure the CPU baseline in a clean subprocess (forced CPU backend)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
-    base = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--mode", "host",
-         "--regions", str(args.regions), "--ref-len", str(args.ref_len),
-         "--coverage", str(args.coverage), "--dtype", args.dtype,
-         "--workers", str(args.workers), "--json-only", "--jobs-dir", tmp],
-        env=env, capture_output=True, text=True, timeout=1800)
+    base_cmd = [sys.executable, os.path.abspath(__file__), "--mode", "host",
+                "--regions", str(args.regions),
+                "--coverage", str(args.coverage), "--dtype", args.dtype,
+                "--workers", str(args.workers), "--json-only",
+                "--jobs-dir", tmp]
+    if args.ref_len:
+        base_cmd += ["--ref-len", str(args.ref_len)]
+    base = subprocess.run(base_cmd, env=env, capture_output=True, text=True,
+                          timeout=3600)
     baseline_rps = None
     for line in base.stdout.splitlines():
         try:
@@ -163,7 +186,7 @@ def main():
         except (json.JSONDecodeError, KeyError):
             continue
 
-    dt, n_records = run_device_mode(jobs, cfg, args.workers)
+    dt, n_records, st = run_device_mode(jobs, cfg, args.workers)
     rps = args.regions / dt
     vs = round(rps / baseline_rps, 3) if baseline_rps else None
     print(json.dumps({
@@ -172,9 +195,21 @@ def main():
         "unit": "regions/s",
         "vs_baseline": vs,
     }))
-    print(f"# device mode: {args.regions} regions in {dt:.2f}s, "
-          f"{n_records} records; measured CPU baseline (this framework's "
-          f"host mode, {args.workers} workers, JAX_PLATFORMS=cpu): "
+    busy_frac = min(1.0, st.get("device_busy_s", 0.0) / dt) if dt else 0.0
+    print(f"# device mode: {args.regions} regions in {dt:.2f}s "
+          f"({n_records} records); stage thread-seconds: "
+          f"tile_build={st.get('tile_build_s', 0):.2f} "
+          f"device_wait={st.get('device_wait_s', 0):.2f} "
+          f"host_finish={st.get('finish_s', 0):.2f}; "
+          f"device in-flight {st.get('device_busy_s', 0):.2f}s "
+          f"({100 * busy_frac:.0f}% of wall), "
+          f"{st.get('n_chunks', 0)} chunks, "
+          f"h2d {st.get('h2d_bytes', 0) / 1e6:.1f} MB, "
+          f"d2h {st.get('d2h_bytes', 0) / 1e6:.1f} MB, "
+          f"{st.get('n_host_fallback', 0)} host-fallback tiles",
+          file=sys.stderr)
+    print(f"# measured CPU baseline (this framework's host mode, "
+          f"{args.workers} workers, JAX_PLATFORMS=cpu): "
           f"{baseline_rps} regions/s. The reference stack cannot run here "
           f"(no pysam/edlib/binaries), so vs_baseline is a lower bound vs "
           f"the actual reference pipeline.", file=sys.stderr)

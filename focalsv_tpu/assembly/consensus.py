@@ -65,6 +65,72 @@ def pileup_with_dels(
     return mat, inss
 
 
+def compact_pileup_rows(
+    reads: list[bamio.BamRecord], idxs: list[int],
+    region_start: int, region_len: int,
+) -> tuple[list[np.ndarray], np.ndarray, list[tuple[int, int, np.ndarray]]]:
+    """Compact per-read pileup rows: each read's covered region columns are
+    a CONTIGUOUS span [start, start+len(row)), so the dense (R, L) matrix --
+    ~90% NOCOV for long regions -- never materializes on the host.  Returns
+    (rows, starts (R,) int32, insertions as in pileup_with_dels).  The
+    device expands rows into the (R, L) tile with one gather
+    (parallel/region_step.py::phase_consensus_rows_packed)."""
+    rows: list[np.ndarray] = []
+    starts = np.zeros(len(idxs), np.int32)
+    inss: list[tuple[int, int, np.ndarray]] = []
+    for mi, ri in enumerate(idxs):
+        rec = reads[ri]
+        rpos = rec.pos - region_start
+        r0 = max(0, rpos)
+        r1 = min(region_len, rec.reference_end - region_start)
+        if r1 <= r0:
+            rows.append(np.zeros(0, np.uint8))
+            continue
+        row = np.full(r1 - r0, NOCOV, np.uint8)
+        starts[mi] = r0
+        qpos = 0
+        for op, ln in rec.cigar:
+            if op in (bamio.CMATCH, bamio.CEQUAL, bamio.CDIFF):
+                a = max(0, r0 - rpos)
+                b = min(ln, region_len - rpos)
+                if b > a:
+                    row[rpos + a - r0 : rpos + b - r0] = \
+                        rec.seq[qpos + a : qpos + b]
+                rpos += ln
+                qpos += ln
+            elif op == bamio.CINS:
+                if 0 <= rpos < region_len:
+                    inss.append((rpos, mi, rec.seq[qpos : qpos + ln].copy()))
+                qpos += ln
+            elif op == bamio.CSOFT_CLIP:
+                qpos += ln
+            elif op in (bamio.CDEL, bamio.CREF_SKIP):
+                a = max(0, r0 - rpos)
+                b = min(ln, region_len - rpos)
+                if b > a:
+                    row[rpos + a - r0 : rpos + b - r0] = DEL_SYM
+                rpos += ln
+        rows.append(row)
+    return rows, starts, inss
+
+
+class SpanValid:
+    """Column-validity view over contiguous-cover rows: supports the
+    ``valid[:, col]`` lookups that decide_insertions and
+    clip_insertion_candidates perform, without materializing the (n, L)
+    boolean matrix (268 MB at 1024 reads x 256 kb)."""
+
+    def __init__(self, starts: np.ndarray, ends: np.ndarray):
+        self.starts = np.asarray(starts, np.int64)
+        self.ends = np.asarray(ends, np.int64)
+
+    def __getitem__(self, key):
+        rows, col = key
+        st = self.starts[rows]
+        en = self.ends[rows]
+        return (st <= col) & (col < en)
+
+
 def _column_vote(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(consensus symbol per column, coverage per column)."""
     L = mat.shape[1]

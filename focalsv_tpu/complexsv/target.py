@@ -165,6 +165,29 @@ class TargetComplexResult:
         return sort_records(self.invs + self.dups + self.tras)
 
 
+def _cigar_tokens(cig: str):
+    """Yield (length, op-char) tokens of a CIGAR string (SA-tag entries)."""
+    n = ""
+    for ch in cig:
+        if ch.isdigit():
+            n += ch
+        else:
+            if n:
+                yield int(n), ch
+            n = ""
+
+
+def _merge_intervals(ivs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union of possibly-overlapping [lo, hi) intervals."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(ivs):
+        if out and lo <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
 def split_typed_bed(rows: list[tuple[Region, str]]):
     """Typed BED rows (region, svtype) -> per-type region lists
     (driver :35-47 split of the 4-column BED)."""
@@ -232,22 +255,48 @@ def call_complex_target(
                  if any(d.chrom == r.chrom and d.start - 5000 <= r.pos <= d.end + 5000
                         for d in dup_regions)] if dup_regions else list(ins_records)
         res.dups.extend(recover_dup_from_ins(cands, ref_by_chrom))
-    # TRA windows: cross-chromosome split pairs; needs the mate chromosome's
-    # supplementary records too, so fetch genome-wide reads of window qnames
+    # TRA windows: cross-chromosome split pairs; the mate chromosome's
+    # supplementary records come from SA-tag mate coordinates with a bounded
+    # BAI fetch per mate window -- NOT a whole-BAM scan (reference locates
+    # mates from SA tags the same way, Reads_Based_TRA_Call.py:180; a
+    # genome-wide qname scan would be O(whole BAM) per target call)
     tra_regions = regions_by_type.get("TRA", [])
     if tra_regions:
         by_chrom: dict[str, list] = {}
         for region in tra_regions:
             by_chrom.setdefault(region.chrom, []).extend(
                 fetch_window_records(region))
-        # include all records of other chromosomes sharing qnames
         qnames = {r.name for recs in by_chrom.values() for r in recs}
-        for chrom in bam.ref_names:
-            recs = by_chrom.setdefault(chrom, [])
-            have = {(r.name, r.flag, r.pos) for r in recs}
-            for rec in bam.fetch(chrom):
-                if rec.name in qnames and (rec.name, rec.flag, rec.pos) not in have:
-                    recs.append(rec)
+        # mate windows from SA tags: (chrom, pos) of every supplementary
+        # segment of a window read
+        mate_ivs: dict[str, list[tuple[int, int]]] = {}
+        for recs in list(by_chrom.values()):
+            for r in recs:
+                sa = r.tags.get("SA")
+                if not sa:
+                    continue
+                for entry in str(sa).split(";"):
+                    if not entry:
+                        continue
+                    parts = entry.split(",")
+                    if len(parts) < 4:
+                        continue
+                    mchrom, mpos = parts[0], int(parts[1]) - 1
+                    span = sum(
+                        int(n) for n, op in _cigar_tokens(parts[3])
+                        if op in "MDN=X") or 1
+                    mate_ivs.setdefault(mchrom, []).append(
+                        (max(0, mpos - 2000), mpos + span + 2000))
+        have = {(r.name, r.flag, r.pos)
+                for recs in by_chrom.values() for r in recs}
+        for mchrom, ivs in mate_ivs.items():
+            recs = by_chrom.setdefault(mchrom, [])
+            for lo, hi in _merge_intervals(ivs):
+                for rec in bam.fetch(mchrom, lo, hi):
+                    key = (rec.name, rec.flag, rec.pos)
+                    if rec.name in qnames and key not in have:
+                        have.add(key)
+                        recs.append(rec)
         out = cauto.call_complex_auto(by_chrom, data_type)
         for chrom, pos, alt, sup, mq in out.tras:
             if sup < min_support:

@@ -105,6 +105,27 @@ def _parse_info(s: str) -> dict:
     return info
 
 
+def parse_line(line: str) -> VcfRecord | None:
+    """One VCF body line -> VcfRecord (None for malformed/short lines)."""
+    p = line.split("\t")
+    if len(p) < 5:
+        return None
+    gt = "./."
+    if len(p) >= 10:
+        gt = p[9].split(":")[0]
+    return VcfRecord(
+        chrom=p[0],
+        pos=int(p[1]),
+        id=p[2],
+        ref=p[3],
+        alt=p[4],
+        qual=p[5] if len(p) > 5 else ".",
+        filter=p[6] if len(p) > 6 else ".",
+        info=_parse_info(p[7]) if len(p) > 7 else {},
+        gt=gt,
+    )
+
+
 def read_vcf(path: str) -> tuple[list[str], list[VcfRecord]]:
     """Returns (header_lines, records)."""
     opener = gzip.open if str(path).endswith(".gz") else open
@@ -118,23 +139,9 @@ def read_vcf(path: str) -> tuple[list[str], list[VcfRecord]]:
             if line.startswith("#"):
                 header.append(line)
                 continue
-            p = line.split("\t")
-            gt = "./."
-            if len(p) >= 10:
-                gt = p[9].split(":")[0]
-            records.append(
-                VcfRecord(
-                    chrom=p[0],
-                    pos=int(p[1]),
-                    id=p[2],
-                    ref=p[3],
-                    alt=p[4],
-                    qual=p[5] if len(p) > 5 else ".",
-                    filter=p[6] if len(p) > 6 else ".",
-                    info=_parse_info(p[7]) if len(p) > 7 else {},
-                    gt=gt,
-                )
-            )
+            rec = parse_line(line)
+            if rec is not None:
+                records.append(rec)
     return header, records
 
 

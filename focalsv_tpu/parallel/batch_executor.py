@@ -44,9 +44,42 @@ class _Job:
     dirs: np.ndarray | None = None
 
 
-# assumed native banded-DP throughput for the latency/compute routing
-# decision (conservative; the C++ kernel measures higher)
+# native banded-DP throughput for the latency/compute routing decision;
+# measured once per process by _calibrate_native() (fallback when the C++
+# kernel is unavailable: conservative assumed value)
 NATIVE_CELLS_PER_SEC = 2e8
+_calibrated = False
+
+
+def _calibrate_native() -> float:
+    """Measure the host C++ kernel's cells/sec once (~5 ms): the routing
+    decision 'host kernel vs device round-trip' should reflect THIS machine,
+    not a hardcoded constant (a 2-vCPU TPU host and a 96-core dev box differ
+    by an order of magnitude)."""
+    global NATIVE_CELLS_PER_SEC, _calibrated
+    if _calibrated:
+        return NATIVE_CELLS_PER_SEC
+    _calibrated = True
+    try:
+        import time
+
+        from focalsv_tpu import native
+        rng = np.random.default_rng(0)
+        q = rng.integers(0, 4, 4096).astype(np.uint8)
+        t = rng.integers(0, 4, 4096).astype(np.uint8)
+        band = 256
+        if native.affine_banded_align(q, t, -band // 2, band,
+                                      2, -4, -4, -2) is None:
+            return NATIVE_CELLS_PER_SEC
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            native.affine_banded_align(q, t, -band // 2, band, 2, -4, -4, -2)
+        dt = max(time.perf_counter() - t0, 1e-6)
+        NATIVE_CELLS_PER_SEC = reps * len(q) * band / dt
+    except Exception:
+        pass
+    return NATIVE_CELLS_PER_SEC
 
 
 class DPBatcher:
@@ -69,6 +102,7 @@ class DPBatcher:
             init_rt_ms = float(os.environ.get("FOCALSV_DP_RT_MS", "5.0"))
         self.rt_ema = init_rt_ms / 1000.0
         self._pin_rt = init_rt_ms == 0.0   # 0 pins routing to the device
+        _calibrate_native()
         self.thread.start()
 
     def route_native(self, cells: int) -> bool:

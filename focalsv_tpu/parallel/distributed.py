@@ -53,8 +53,9 @@ def host_vcf_path(out_dir: str, process_index: int) -> str:
 
 def merge_host_vcfs(out_dir: str, process_count: int,
                     final_path: str | None = None,
-                    timeout_s: float = 1800.0,
-                    poll_s: float = 0.5) -> str:
+                    timeout_s: float | None = None,
+                    poll_s: float = 0.5,
+                    dedup_cfg=None) -> str:
     """Host-0 merge of every host's shard VCF (the cat|vcf-sort analog).
 
     This is the MERGE BARRIER: host 0 waits (bounded) for every peer's
@@ -63,10 +64,18 @@ def merge_host_vcfs(out_dir: str, process_count: int,
     never be silently dropped from the genome-wide VCF (reference analog:
     the per-chromosome SLURM jobs all write before the manual cat|vcf-sort,
     README.md:207-213).
+
+    ``timeout_s`` defaults to env FOCALSV_MERGE_TIMEOUT_S (1800 if unset) so
+    long WGS runs with >30 min inter-host skew can raise it without code
+    changes.  With ``dedup_cfg`` the merged records get one cross-shard
+    redundancy pass, collapsing duplicate calls of SVs that straddle a host
+    shard boundary.
     """
     import time
 
     from focalsv_tpu.io.vcf import merge_vcfs
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("FOCALSV_MERGE_TIMEOUT_S", "1800"))
     paths = [host_vcf_path(out_dir, i) for i in range(process_count)]
     deadline = time.monotonic() + timeout_s
     while True:
@@ -82,4 +91,11 @@ def merge_host_vcfs(out_dir: str, process_count: int,
         time.sleep(poll_s)
     final_path = final_path or os.path.join(out_dir, "FocalSV_Final_SV.vcf")
     merge_vcfs(paths, final_path)
+    if dedup_cfg is not None:
+        from focalsv_tpu.calling.dedup import dedup_records
+        from focalsv_tpu.io.vcf import read_vcf, sort_records, write_vcf
+        header, recs = read_vcf(final_path)
+        kept, removed = dedup_records(sort_records(recs), dedup_cfg)
+        if removed:
+            write_vcf(final_path, sort_records(kept))
     return final_path

@@ -54,21 +54,33 @@ _NIB_INV[:5] = np.arange(5)
 _NIB_INV[5] = DEL_SYM
 
 
-def pack_nibbles(mat: np.ndarray) -> np.ndarray:
-    """(R, L) uint8 pileup -> (R, ceil(L/2)) packed nibbles (host side)."""
+def pack_nibbles(mat: np.ndarray, L_pad: int | None = None) -> np.ndarray:
+    """(R, L) uint8 pileup -> (R, L_pad/2) packed nibbles (host side).
+
+    SPLIT-HALF layout: byte j holds columns j (low nibble) and j + L_pad/2
+    (high nibble).  An interleaved (even/odd) layout would force the device
+    unpack through a (..., L/2, 2) intermediate whose trailing dim of 2 is
+    padded to the 128-lane tile on TPU -- a 64x HBM blowup that OOMs at
+    100 kb regions; the split-half unpack is a plain last-axis concatenate.
+    Columns beyond L are NOCOV padding (so L_pad just extends the tile)."""
     nib = NIB_MAP[mat]
-    if nib.shape[1] % 2:
+    L = nib.shape[1]
+    if L_pad is None:
+        L_pad = L + (L % 2)
+    assert L_pad % 2 == 0 and L_pad >= L
+    if L_pad > L:
         nib = np.concatenate(
-            [nib, np.full((nib.shape[0], 1), 15, np.uint8)], axis=1)
-    return (nib[:, ::2] | (nib[:, 1::2] << 4)).astype(np.uint8)
+            [nib, np.full((nib.shape[0], L_pad - L), 15, np.uint8)], axis=1)
+    h = L_pad // 2
+    return (nib[:, :h] | (nib[:, h:] << 4)).astype(np.uint8)
 
 
 def _unpack_nibbles(packed: jax.Array, L: int) -> jax.Array:
-    """(..., L/2) packed -> (..., L) uint8 pileup symbols (device side)."""
-    lo = packed & 0xF
-    hi = packed >> 4
-    m = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)[..., :L]
-    return jnp.asarray(_NIB_INV)[m]
+    """(..., L/2) split-half packed -> (..., L) uint8 pileup symbols."""
+    inv = jnp.asarray(_NIB_INV)
+    lo = inv[packed & 0xF]
+    hi = inv[packed >> 4]
+    return jnp.concatenate([lo, hi], axis=-1)[..., :L]
 
 
 def _one_region(
@@ -186,6 +198,23 @@ def _one_region(
     hp = jnp.where(rv & informative,
                    jnp.where(agree >= disagree, 1, 2), 0).astype(jnp.int8)
 
+    # --- per-site summaries shipped INSTEAD of the (R, S) allele matrix ---
+    # final-order allele codes (host find_het_sites math: top-2 counts)
+    sa0 = code_map[a0[site_pos]]
+    sa1 = code_map[a1[site_pos]]
+    # hap-1 allele index per site (phasing/phase.py::phased_snv_records)
+    hap1 = (hp == 1)[:, None]
+    hap2 = (hp == 2)[:, None]
+    v1 = ((A == 1) & hap1).sum(0, dtype=jnp.int32) + \
+         ((A == 0) & hap2).sum(0, dtype=jnp.int32)
+    v0 = ((A == 0) & hap1).sum(0, dtype=jnp.int32) + \
+         ((A == 1) & hap2).sum(0, dtype=jnp.int32)
+    site_h = (v1 > v0).astype(jnp.uint8)
+    # site connectivity (phasing/phase.py::phase_blocks): conn[s] = some read
+    # covers sites s and s+1
+    conn = jnp.pad((covA[:, :-1] & covA[:, 1:]).any(0), (0, 1)
+                   ).astype(jnp.uint8)
+
     # --- consensus votes per haplotype (unphased reads vote in both) --
     def vote(mask):
         use = (mask | (hp == 0)) & rv
@@ -199,7 +228,8 @@ def _one_region(
     s1, c1 = vote(hp == 1)
     s2, c2 = vote(hp == 2)
     return (site_pos, n_sites, A, hp,
-            jnp.stack([s1, s2]), jnp.stack([c1, c2]))
+            jnp.stack([s1, s2]), jnp.stack([c1, c2]),
+            sa0, sa1, site_h, conn)
 
 
 _STATIC_NAMES = (
@@ -233,26 +263,56 @@ def phase_consensus_batch(
         lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
         purify_window=purify_window, purify_min_pairs=purify_min_pairs,
         purify_num=purify_num, purify_den=purify_den)
-    return jax.vmap(lambda m, rv: _one_region(m, rv, **kw))(mat, read_valid)
+    out = jax.vmap(lambda m, rv: _one_region(m, rv, **kw))(mat, read_valid)
+    return out[:6]
 
 
 def flat_layout(R: int, L: int, S: int) -> dict[str, tuple[int, int]]:
     """Byte offsets of the per-region flat result buffer (device->host is a
-    single array so the transfer is one RPC on tunneled backends)."""
+    single array so the transfer is one RPC on tunneled backends).
+
+    The (R, S) allele matrix never leaves the device: the host only needs
+    per-site summaries (alleles, hap-1 vote, connectivity), computed on
+    device -- at 256 reads x 512 sites that is the difference between a
+    131 KB and a 2 KB site payload per region.  Consensus symbols ship as
+    4-bit nibbles (split-half, see pack_nibbles)."""
     off = 0
     out = {}
     for name, size in (
         ("n_sites", 4),
         ("site_pos", 4 * S),
+        ("site_a0", S),
+        ("site_a1", S),
+        ("site_h", S),
+        ("site_conn", S),
         ("hp", R),
-        ("A", R * S),
-        ("sym", 2 * L),
+        ("symnib", L),          # (2, L) symbols 0..5, packed 2-per-byte
         ("covbits", 2 * (L // 8)),
     ):
         out[name] = (off, off + size)
         off += size
     out["__total__"] = (0, off)
     return out
+
+
+def _flat_parts(res_tuple, L):
+    """Assemble one region's flat result buffer from _one_region outputs."""
+    (site_pos, n_sites, _A, hp, sym, cov,
+     sa0, sa1, site_h, conn) = res_tuple
+    # split-half 4-bit pack of the (2, L) consensus symbols (values 0..5)
+    h = L // 2
+    symnib = (sym[:, :h] | (sym[:, h:] << 4)).astype(jnp.uint8)
+    return [
+        jax.lax.bitcast_convert_type(n_sites[None], jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(site_pos, jnp.uint8).reshape(-1),
+        sa0.reshape(-1),
+        sa1.reshape(-1),
+        site_h.reshape(-1),
+        conn.reshape(-1),
+        jax.lax.bitcast_convert_type(hp, jnp.uint8).reshape(-1),
+        symnib.reshape(-1),
+        jnp.packbits(cov.reshape(-1)),
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES + ("L",))
@@ -282,16 +342,7 @@ def phase_consensus_batch_packed(
 
     def one(p, rv):
         m = _unpack_nibbles(p, L)
-        site_pos, n_sites, A, hp, sym, cov = _one_region(m, rv, **kw)
-        parts = [
-            jax.lax.bitcast_convert_type(n_sites[None], jnp.uint8).reshape(-1),
-            jax.lax.bitcast_convert_type(site_pos, jnp.uint8).reshape(-1),
-            jax.lax.bitcast_convert_type(hp, jnp.uint8).reshape(-1),
-            jax.lax.bitcast_convert_type(A, jnp.uint8).reshape(-1),
-            sym.reshape(-1),
-            jnp.packbits(cov.reshape(-1)),
-        ]
-        return jnp.concatenate(parts)
+        return jnp.concatenate(_flat_parts(_one_region(m, rv, **kw), L))
 
     G = packed.shape[0]
     inner = 8
@@ -306,9 +357,94 @@ def phase_consensus_batch_packed(
     return out.reshape(G, -1)
 
 
+def pack_row_tile(rows: list[np.ndarray], W_pad: int) -> np.ndarray:
+    """Compact per-read rows -> (R, W_pad/2) split-half packed nibbles.
+
+    Each row (consensus.compact_pileup_rows) is padded to W_pad with NOCOV
+    before nibble packing; the device gather treats columns outside
+    [start, start+W_pad) as NOCOV anyway, so padding is free coverage-wise.
+    """
+    R = len(rows)
+    mat = np.full((R, W_pad), NOCOV, np.uint8)
+    for i, row in enumerate(rows):
+        mat[i, : len(row)] = row
+    return pack_nibbles(mat, W_pad)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES + ("L", "W"))
+def phase_consensus_rows_packed(
+    packed_rows: jax.Array,  # (G, R, W//2) split-half packed compact rows
+    row_start: jax.Array,    # (G, R) int32 region column of each row's col 0
+    read_valid: jax.Array,   # (G, R) bool
+    *,
+    L: int,
+    W: int,
+    max_sites: int = 512,
+    mec_iters: int = 30,
+    min_site_depth: int = 4,
+    min_minor_count: int = 2,
+    lo_num: int = 1, lo_den: int = 4,
+    hi_num: int = 3, hi_den: int = 4,
+    purify_window: int = 4,
+    purify_min_pairs: int = 4,
+    purify_num: int = 1, purify_den: int = 2,
+):
+    """Production entry for COMPACT row tiles: rows expand into the (R, L)
+    pileup ON DEVICE with one gather, so the host never materializes (and
+    never transfers) the ~90%-NOCOV dense matrix -- h2d bytes drop from
+    R*L/2 to R*W/2 (W ~ read span << L for large regions).  Output: the
+    same flat buffer as phase_consensus_batch_packed."""
+    kw = dict(
+        max_sites=max_sites, mec_iters=mec_iters,
+        min_site_depth=min_site_depth, min_minor_count=min_minor_count,
+        lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
+        purify_window=purify_window, purify_min_pairs=purify_min_pairs,
+        purify_num=purify_num, purify_den=purify_den)
+
+    def one(p, st, rv):
+        rows = _unpack_nibbles(p, W)                       # (R, W)
+        idx = jnp.arange(L, dtype=jnp.int32)[None, :] - st[:, None]
+        inb = (idx >= 0) & (idx < W)
+        m = jnp.take_along_axis(rows, jnp.clip(idx, 0, W - 1).astype(jnp.int32),
+                                axis=1)
+        m = jnp.where(inb, m, jnp.uint8(NOCOV))
+        return jnp.concatenate(_flat_parts(_one_region(m, rv, **kw), L))
+
+    G = packed_rows.shape[0]
+    inner = 8
+    if G <= inner or G % inner != 0:
+        return jax.vmap(one)(packed_rows, row_start, read_valid)
+    # bounded working set: the expanded (inner, R, L) pileups exist for one
+    # inner chunk at a time (full-G expansion OOMs HBM on large batches)
+    p4 = packed_rows.reshape(G // inner, inner, *packed_rows.shape[1:])
+    s4 = row_start.reshape(G // inner, inner, row_start.shape[1])
+    rv4 = read_valid.reshape(G // inner, inner, read_valid.shape[1])
+    out = jax.lax.map(lambda args: jax.vmap(one)(*args), (p4, s4, rv4))
+    return out.reshape(G, -1)
+
+
+def sharded_phase_consensus_rows_packed(packed_rows, row_start, read_valid,
+                                        mesh, *, L, W, **kw):
+    """phase_consensus_rows_packed sharded over the mesh's regions axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from focalsv_tpu.parallel.mesh import DATA_AXIS
+    spec = P(DATA_AXIS)
+    fn = jax.shard_map(
+        lambda p, st, rv: phase_consensus_rows_packed(p, st, rv, L=L, W=W,
+                                                      **kw),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(packed_rows, row_start, read_valid)
+
+
 def unflatten_result(buf: np.ndarray, R: int, L: int, S: int) -> tuple:
     """Host-side decode of one region's flat buffer -> the unpacked tuple
-    (site_pos, n_sites, A, hp, sym, covered)."""
+    (site_pos, n_sites, hp, sym, covered, site_a0, site_a1, site_h,
+    site_conn)."""
     lay = flat_layout(R, L, S)
 
     def seg(name):
@@ -318,11 +454,15 @@ def unflatten_result(buf: np.ndarray, R: int, L: int, S: int) -> tuple:
     n_sites = int(seg("n_sites").view(np.int32)[0])
     site_pos = seg("site_pos").view(np.int32)
     hp = seg("hp").view(np.int8)
-    A = seg("A").view(np.int8).reshape(R, S)
-    sym = seg("sym").reshape(2, L)
+    symnib = seg("symnib").reshape(2, L // 2)
+    h = L // 2
+    sym = np.empty((2, L), np.uint8)
+    sym[:, :h] = symnib & 0xF
+    sym[:, h:] = symnib >> 4
     covered = np.unpackbits(seg("covbits").reshape(2, L // 8),
                             axis=1).astype(bool)
-    return site_pos, n_sites, A, hp, sym, covered
+    return (site_pos, n_sites, hp, sym, covered,
+            seg("site_a0"), seg("site_a1"), seg("site_h"), seg("site_conn"))
 
 
 def phase_consensus_kwargs(phasing_cfg) -> dict:

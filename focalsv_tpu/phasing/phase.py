@@ -281,6 +281,9 @@ class PhaseResult:
     site_allele0: np.ndarray = None
     site_allele1: np.ndarray = None
     allele_mat: np.ndarray = None
+    # hap-1 allele index per site, precomputed on device (the device path
+    # ships this instead of the (R, S) allele matrix)
+    site_hap1: np.ndarray = None
 
     def __post_init__(self):
         if self.site_allele0 is None:
@@ -413,14 +416,21 @@ def phased_snv_records(pr: PhaseResult, ref_codes: np.ndarray,
     hap-1-assigned reads (identical on the host and device paths)."""
     from focalsv_tpu.io.vcf import VcfRecord
     from focalsv_tpu.ops import encode as enc
-    A = pr.allele_mat
-    if pr.n_sites == 0 or A.size == 0:
+    if pr.n_sites == 0:
         return []
-    hap1 = pr.hp == 1
-    hap2 = pr.hp == 2
-    v1 = ((A == 1) & hap1[:, None]).sum(0) + ((A == 0) & hap2[:, None]).sum(0)
-    v0 = ((A == 0) & hap1[:, None]).sum(0) + ((A == 1) & hap2[:, None]).sum(0)
-    h = np.where(v1 > v0, 1, 0).astype(np.int8)   # hap-1 allele index
+    A = pr.allele_mat
+    if A.size:
+        hap1 = pr.hp == 1
+        hap2 = pr.hp == 2
+        v1 = ((A == 1) & hap1[:, None]).sum(0) + \
+            ((A == 0) & hap2[:, None]).sum(0)
+        v0 = ((A == 0) & hap1[:, None]).sum(0) + \
+            ((A == 1) & hap2[:, None]).sum(0)
+        h = np.where(v1 > v0, 1, 0).astype(np.int8)   # hap-1 allele index
+    elif pr.site_hap1 is not None and len(pr.site_hap1) == pr.n_sites:
+        h = np.asarray(pr.site_hap1, np.int8)  # device-computed, same math
+    else:
+        return []
     # per-block phase-set ids: genome position of the block's first site + 1
     ps_of_block = {}
     for s in range(pr.n_sites):

@@ -45,20 +45,55 @@ logger = get_logger("device_exec")
 
 @dataclass
 class RegionTile:
-    """Host-side staging of one region for the device step."""
+    """Host-side staging of one region for the device step.
+
+    Pileup content lives in COMPACT per-read rows (each read covers one
+    contiguous column span), packed as 4-bit nibbles at the row-width bucket;
+    the device expands them into the dense (R, L) tile with one gather
+    (region_step.phase_consensus_rows_packed).  The host never builds the
+    dense matrix."""
 
     chrom: str
     start: int
     ref_codes: np.ndarray
     reads: list                      # raw fetched reads (FP-filter evidence)
     usable: list                     # phasing-eligible reads
-    mat: np.ndarray | None = None    # (R, L) uint8 pileup (254 del, 255 nocov)
-    nib: np.ndarray | None = None    # (R, ceil(L/2)) packed 4-bit symbols
+    nib: np.ndarray | None = None    # (R, W_pad/2) packed compact rows
+    row_starts: np.ndarray | None = None   # (R,) int32 region column of col 0
+    row_lens: np.ndarray | None = None     # (R,) int32 covered span length
+    W_pad: int = 0
     ins_by_read: list = field(default_factory=list)
+    _rows: list | None = None        # unpacked rows (host-side site gather)
 
     @property
     def region_len(self) -> int:
         return len(self.ref_codes)
+
+    def row_symbol(self, read_idx: int, col: int) -> int:
+        """Pileup symbol of one read at one region column (NOCOV outside)."""
+        o = col - int(self.row_starts[read_idx])
+        row = self._rows[read_idx]
+        return int(row[o]) if 0 <= o < len(row) else NOCOV
+
+    def site_matrix(self, cols: np.ndarray) -> np.ndarray:
+        """(R, len(cols)) pileup symbols at the given columns (the dense
+        matrix's mat[:, cols] without materializing mat)."""
+        R = len(self._rows)
+        out = np.full((R, len(cols)), NOCOV, np.uint8)
+        for r in range(R):
+            o = np.asarray(cols, np.int64) - int(self.row_starts[r])
+            row = self._rows[r]
+            ok = (o >= 0) & (o < len(row))
+            if ok.any():
+                out[r, ok] = row[o[ok]]
+        return out
+
+    def valid_cols(self, idxs: list[int], cols) -> np.ndarray:
+        """(len(idxs), len(cols)) bool: does read cover column (span test)."""
+        c = np.atleast_1d(np.asarray(cols, np.int64))
+        st = self.row_starts[idxs][:, None]
+        ln = self.row_lens[idxs][:, None]
+        return (c[None, :] >= st) & (c[None, :] < st + ln)
 
 
 def build_tile(reads, ref_codes, region_start: int, chrom: str,
@@ -71,11 +106,15 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
     tile = RegionTile(chrom=chrom, start=region_start, ref_codes=ref_codes,
                       reads=reads, usable=usable)
     if usable:
-        from focalsv_tpu.parallel.region_step import pack_nibbles
-        mat, inss = pileup_with_dels(usable, list(range(len(usable))),
-                                     region_start, len(ref_codes))
-        tile.mat = mat
-        tile.nib = pack_nibbles(mat)
+        from focalsv_tpu.assembly.consensus import compact_pileup_rows
+        from focalsv_tpu.parallel.region_step import pack_row_tile
+        rows, starts, inss = compact_pileup_rows(
+            usable, list(range(len(usable))), region_start, len(ref_codes))
+        tile._rows = rows
+        tile.row_starts = starts
+        tile.row_lens = np.array([len(r) for r in rows], np.int32)
+        tile.W_pad = _pow2(max(int(tile.row_lens.max()), 1), 1024)
+        tile.nib = pack_row_tile(rows, tile.W_pad)
         tile.ins_by_read = [[] for _ in usable]
         for pos, mi, seq in inss:
             tile.ins_by_read[mi].append((pos, seq))
@@ -99,8 +138,9 @@ def _len_bucket(n: int, lo: int = 4096) -> int:
     return b
 
 
-def _bucket_key(tile: RegionTile, cfg: PipelineConfig) -> tuple[int, int] | None:
-    """(R_pad, L_pad) bucket, or None when the tile must take the host path."""
+def _bucket_key(tile: RegionTile,
+                cfg: PipelineConfig) -> tuple[int, int, int] | None:
+    """(R_pad, L_pad, W_pad) bucket, or None for the host path."""
     ex = cfg.execution
     R = len(tile.usable)
     L = tile.region_len
@@ -109,11 +149,13 @@ def _bucket_key(tile: RegionTile, cfg: PipelineConfig) -> tuple[int, int] | None
     if cfg.phasing.use_pairhmm:
         # pair-HMM realignment of the allele matrix is a host-path feature
         return None
-    return _pow2(R, 8), _len_bucket(L)
+    return _pow2(R, 8), _len_bucket(L), tile.W_pad
 
 
-def _batch_size(key: tuple[int, int], cfg: PipelineConfig,
+def _batch_size(key: tuple[int, int, int], cfg: PipelineConfig,
                 n_devices: int) -> int:
+    # budget on the expanded (R, L) working set -- the HBM bound, not the
+    # (much smaller) R*W/2 transfer
     ex = cfg.execution
     g = max(1, min(ex.max_regions_per_batch,
                    int(ex.batch_bytes // (key[0] * key[1]))))
@@ -130,7 +172,15 @@ _cache_lock = __import__("threading").Lock()
 def _ensure_compile_cache():
     """Persistent XLA compilation cache: bucketized tile shapes recompile
     only once per machine, not once per process.  Lock-guarded: concurrent
-    jax.config.update from two threads is a fatal error."""
+    jax.config.update from two threads is a fatal error.
+
+    CPU backends get NO persistent cache: XLA:CPU AOT artifacts embed the
+    compile machine's exact LLVM feature set, and reloading them on any
+    other machine (or even the same one, with tuning flags like
+    +prefer-no-gather that the loader compares against host features) logs
+    'cpu_aot_loader ... could lead to SIGILL'.  CPU compiles here are
+    seconds; the cache's value is the tunneled-TPU path, where a fresh
+    compile is 20-40 s per tile shape."""
     global _cache_ready
     with _cache_lock:
         if _cache_ready:
@@ -139,37 +189,48 @@ def _ensure_compile_cache():
             import os
 
             import jax
-            path = os.environ.get("FOCALSV_JAX_CACHE",
-                                  os.path.expanduser("~/.cache/focalsv_jax"))
-            jax.config.update("jax_compilation_cache_dir", path)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
+            if jax.default_backend() == "cpu":
+                jax.config.update("jax_compilation_cache_dir", None)
+            else:
+                path = os.environ.get(
+                    "FOCALSV_JAX_CACHE",
+                    os.path.expanduser("~/.cache/focalsv_jax"))
+                path = os.path.join(path, jax.default_backend())
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             logger.exception("could not enable the persistent compile cache")
         _cache_ready = True
 
 
-def _dispatch_one(tiles: list[RegionTile], chunk: list[int], Rp: int, Lp: int,
-                  G: int, cfg: PipelineConfig, mesh):
+def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
+                  key: tuple[int, int, int], G: int, cfg: PipelineConfig,
+                  mesh):
     """Pack one chunk of tiles and launch the device step (async); the
     result's device->host copy is started immediately so transfers overlap
     compute and each other."""
     from focalsv_tpu.parallel.region_step import (
-        phase_consensus_batch_packed, phase_consensus_kwargs,
-        sharded_phase_consensus_packed)
+        phase_consensus_kwargs, phase_consensus_rows_packed,
+        sharded_phase_consensus_rows_packed)
+    Rp, Lp, Wp = key
     kw = phase_consensus_kwargs(cfg.phasing)
     # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
-    packed = np.full((G, Rp, Lp // 2), 0xFF, np.uint8)
+    packed = np.full((G, Rp, Wp // 2), 0xFF, np.uint8)
+    starts = np.zeros((G, Rp), np.int32)
     rv = np.zeros((G, Rp), bool)
     for g, ti in enumerate(chunk):
         t = tiles[ti]
         R = t.nib.shape[0]
-        packed[g, :R, : t.nib.shape[1]] = t.nib
+        packed[g, :R] = t.nib
+        starts[g, :R] = t.row_starts
         rv[g, :R] = True
     if mesh is not None and mesh.size > 1:
-        res = sharded_phase_consensus_packed(packed, rv, mesh, L=Lp, **kw)
+        res = sharded_phase_consensus_rows_packed(packed, starts, rv, mesh,
+                                                  L=Lp, W=Wp, **kw)
     else:
-        res = phase_consensus_batch_packed(packed, rv, L=Lp, **kw)
+        res = phase_consensus_rows_packed(packed, starts, rv, L=Lp, W=Wp,
+                                          **kw)
     try:
         res.copy_to_host_async()
     except Exception:
@@ -178,22 +239,22 @@ def _dispatch_one(tiles: list[RegionTile], chunk: list[int], Rp: int, Lp: int,
 
 
 def dispatch_device_chunks(tiles: list[RegionTile], cfg: PipelineConfig,
-                           mesh=None) -> list[tuple[list[int], int, int, object]]:
+                           mesh=None) -> list[tuple[list[int], tuple, object]]:
     """Dispatch every bucketizable tile through the device region step.
 
-    Returns [(tile_indices, R_pad, L_pad, device_result)] with all chunks in
+    Returns [(tile_indices, bucket_key, device_result)] with all chunks in
     flight.  Tiles that exceed the tile bounds are absent (host fallback).
     """
     _ensure_compile_cache()
     n_devices = mesh.size if mesh is not None else 1
-    buckets: dict[tuple[int, int], list[int]] = {}
+    buckets: dict[tuple[int, int, int], list[int]] = {}
     for i, t in enumerate(tiles):
         key = _bucket_key(t, cfg)
         if key is not None:
             buckets.setdefault(key, []).append(i)
-    pending: list[tuple[list[int], int, int, object]] = []
-    for (Rp, Lp), idxs in sorted(buckets.items()):
-        G_full = _batch_size((Rp, Lp), cfg, n_devices)
+    pending: list[tuple[list[int], tuple, object]] = []
+    for key, idxs in sorted(buckets.items()):
+        G_full = _batch_size(key, cfg, n_devices)
         # small-tail batch size: a nearly-empty padded batch wastes the
         # whole transfer; 8 keeps the extra compile shapes to one per bucket
         G_small = max(min(G_full, 8), n_devices)
@@ -203,13 +264,13 @@ def dispatch_device_chunks(tiles: list[RegionTile], cfg: PipelineConfig,
             G = G_full if remaining > G_small else G_small
             chunk = idxs[c0 : c0 + G]
             c0 += G
-            res = _dispatch_one(tiles, chunk, Rp, Lp, G, cfg, mesh)
-            pending.append((chunk, Rp, Lp, res))
+            res = _dispatch_one(tiles, chunk, key, G, cfg, mesh)
+            pending.append((chunk, key, res))
     return pending
 
 
 def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
-                 mesh=None) -> list:
+                 mesh=None, stats: dict | None = None) -> list:
     """Fully-pipelined region execution: tile builds (pool), device chunk
     dispatches (as soon as a bucket fills), result decodes and per-region
     finishes (pool) all overlap.
@@ -217,20 +278,48 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
     ``tile_jobs[i]()`` -> RegionTile | None; ``finish(i, tile, dev)`` -> the
     per-region result (dev is None for host-fallback tiles).  Returns the
     per-index results; indices whose tile job returned None yield None.
+
+    ``stats`` (optional dict) accumulates a stage breakdown: summed
+    thread-seconds per stage (tile_build_s, device_wait_s, finish_s),
+    device dispatch span (device_busy_s: first dispatch -> last result
+    materialized, i.e. the window the chip has work in flight), chunk count,
+    and h2d/d2h transfer bytes.
     """
     import concurrent.futures as cf
+    import time as _time
 
     _ensure_compile_cache()
+    st = stats if stats is not None else {}
+    for k in ("tile_build_s", "device_wait_s", "finish_s", "device_busy_s",
+              "h2d_bytes", "d2h_bytes"):
+        st.setdefault(k, 0.0)
+    st.setdefault("n_chunks", 0)
+    st.setdefault("n_host_fallback", 0)
     n_devices = mesh.size if mesh is not None else 1
     n = len(tile_jobs)
     tiles: list[RegionTile | None] = [None] * n
-    fut_to_idx = {pool.submit(j): i for i, j in enumerate(tile_jobs)}
-    buckets: dict[tuple[int, int], list[int]] = {}
-    pending: list[tuple[list[int], int, int, object]] = []
+
+    def timed_tile(j):
+        t0 = _time.perf_counter()
+        out = j()
+        st["tile_build_s"] += _time.perf_counter() - t0
+        return out
+
+    def timed_finish(i, tile, dev):
+        t0 = _time.perf_counter()
+        out = finish(i, tile, dev)
+        st["finish_s"] += _time.perf_counter() - t0
+        return out
+
+    fut_to_idx = {pool.submit(timed_tile, j): i
+                  for i, j in enumerate(tile_jobs)}
+    buckets: dict[tuple[int, int, int], list[int]] = {}
+    pending: list[tuple[list[int], tuple, object]] = []
     fin_futs: dict[int, object] = {}
+    first_dispatch = [None]
 
     def flush(key, force: bool):
-        Rp, Lp = key
+        Rp, _Lp, Wp = key
         G_full = _batch_size(key, cfg, n_devices)
         G_small = max(min(G_full, 8), n_devices)
         idxs = buckets.get(key, [])
@@ -238,8 +327,12 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
             # padded batch size: one of the two compile shapes per bucket
             G = G_full if len(idxs) > G_small else G_small
             chunk, idxs = idxs[:G], idxs[G:]
-            res = _dispatch_one(tiles, chunk, Rp, Lp, G, cfg, mesh)
-            pending.append((chunk, Rp, Lp, res))
+            if first_dispatch[0] is None:
+                first_dispatch[0] = _time.perf_counter()
+            res = _dispatch_one(tiles, chunk, key, G, cfg, mesh)
+            st["n_chunks"] += 1
+            st["h2d_bytes"] += G * Rp * (Wp // 2) + G * Rp * 5
+            pending.append((chunk, key, res))
         buckets[key] = idxs
 
     for fut in cf.as_completed(fut_to_idx):
@@ -251,36 +344,47 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
         key = _bucket_key(tile, cfg)
         if key is None:
             # host-fallback tile: start its finish immediately
-            fin_futs[i] = pool.submit(finish, i, tile, None)
+            st["n_host_fallback"] += 1
+            fin_futs[i] = pool.submit(timed_finish, i, tile, None)
             continue
         buckets.setdefault(key, []).append(i)
         flush(key, force=False)
     for key in sorted(buckets):
         flush(key, force=True)
     # decode chunks in dispatch order (d2h copies are already in flight)
-    for chunk, Rp, Lp, res in pending:
-        outs = decode_chunk(tiles, chunk, Rp, Lp, res, cfg)
+    for chunk, key, res in pending:
+        t0 = _time.perf_counter()
+        outs = decode_chunk(tiles, chunk, key, res, cfg)
+        st["device_wait_s"] += _time.perf_counter() - t0
+        from focalsv_tpu.parallel.region_step import flat_layout
+        st["d2h_bytes"] += len(chunk) * flat_layout(
+            key[0], key[1], cfg.phasing.max_sites)["__total__"][1]
         for i in chunk:
-            fin_futs[i] = pool.submit(finish, i, tiles[i], outs.get(i))
+            fin_futs[i] = pool.submit(timed_finish, i, tiles[i], outs.get(i))
+    if first_dispatch[0] is not None:
+        st["device_busy_s"] += _time.perf_counter() - first_dispatch[0]
     return [fin_futs[i].result() if i in fin_futs else None
             for i in range(n)]
 
 
-def decode_chunk(tiles: list[RegionTile], chunk: list[int], Rp: int, Lp: int,
+def decode_chunk(tiles: list[RegionTile], chunk: list[int], key: tuple,
                  res, cfg: PipelineConfig) -> dict[int, tuple]:
     """Materialize one chunk's flat result buffers (blocks only for this
     chunk) into per-tile unpacked outputs."""
     from focalsv_tpu.parallel.region_step import unflatten_result
+    Rp, Lp, _Wp = key
     S = cfg.phasing.max_sites
     bufs = np.asarray(res)
     out: dict[int, tuple] = {}
     for g, ti in enumerate(chunk):
         t = tiles[ti]
-        R, L = t.mat.shape
-        site_pos, n_sites, A, hp, sym, cov = unflatten_result(
-            bufs[g], Rp, Lp, S)
-        out[ti] = (site_pos[:n_sites], n_sites, A[:R, :n_sites], hp[:R],
-                   sym[:, :L], cov[:, :L])
+        R = len(t.usable)
+        L = t.region_len
+        (site_pos, n_sites, hp, sym, cov, sa0, sa1, site_h,
+         conn) = unflatten_result(bufs[g], Rp, Lp, S)
+        n = n_sites
+        out[ti] = (site_pos[:n], n, hp[:R], sym[:, :L], cov[:, :L],
+                   sa0[:n], sa1[:n], site_h[:n], conn[:n])
     return out
 
 
@@ -288,8 +392,8 @@ def run_device_step(tiles: list[RegionTile], cfg: PipelineConfig,
                     mesh=None) -> dict[int, tuple]:
     """Blocking convenience wrapper: dispatch + decode every chunk."""
     out: dict[int, tuple] = {}
-    for chunk, Rp, Lp, res in dispatch_device_chunks(tiles, cfg, mesh=mesh):
-        out.update(decode_chunk(tiles, chunk, Rp, Lp, res, cfg))
+    for chunk, key, res in dispatch_device_chunks(tiles, cfg, mesh=mesh):
+        out.update(decode_chunk(tiles, chunk, key, res, cfg))
     return out
 
 
@@ -305,36 +409,32 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
     chrom, start = tile.chrom, tile.start
     res = RegionResult(chrom=chrom, start=start, end=start + L)
     res.n_reads = R
-    site_pos, S, A, hp, sym, cov = dev
+    site_pos, S, hp, sym, cov, sa0, sa1, site_h, conn = dev
     if S == 0:
         pr = PhaseResult(np.zeros(R, np.int8), np.full(R, -1, np.int64), 0, 0,
                          np.zeros(0, np.int64), np.zeros(0, np.int64))
     else:
-        blocks = phase_blocks(A)
+        # block ids from the device's site-connectivity bits
+        # (phasing/phase.py::phase_blocks semantics)
+        blocks = np.zeros(S, np.int64)
+        if S > 1:
+            blocks[1:] = np.cumsum(1 - conn[: S - 1].astype(np.int64))
         if int(blocks.max()) > 0:
             return None   # multi-block region: host per-block MEC path
         ps_id = start + int(site_pos[0]) + 1
         ps = np.where(hp > 0, ps_id, -1).astype(np.int64)
-        # site allele codes, re-derived from the tile columns with the host
-        # find_het_sites math (top-2 allele counts, ties -> lower column)
-        from focalsv_tpu.phasing.phase import ALLELE_CODES
-        sub = tile.mat[:, site_pos]
-        counts = np.stack([(sub == c).sum(0) for c in ALLELE_CODES], axis=1)
-        a0 = counts.argmax(axis=1)
-        masked = counts.copy()
-        np.put_along_axis(masked, a0[:, None], -1, axis=1)
-        a1 = masked.argmax(axis=1)
         pr = PhaseResult(hp.astype(np.int8), ps, S, 1,
                          site_pos.astype(np.int64) + start, blocks,
-                         site_allele0=ALLELE_CODES[a0],
-                         site_allele1=ALLELE_CODES[a1], allele_mat=A)
+                         site_allele0=np.asarray(sa0, np.uint8),
+                         site_allele1=np.asarray(sa1, np.uint8),
+                         site_hap1=np.asarray(site_h, np.uint8))
     res.n_phased = int((pr.hp > 0).sum())
     res.n_blocks = pr.n_blocks
     groups = group_reads_by_block(tile.usable, pr)
     hp1: dict[str, np.ndarray] = {}
     hp2: dict[str, np.ndarray] = {}
     name_prefix = f"{chrom}_S{start}"
-    valid = tile.mat != NOCOV
+    from focalsv_tpu.assembly.consensus import SpanValid
     for (psid, k), idxs in sorted(groups.items()):
         tgt = hp1 if k in (0, 1) else hp2
         segs: list = []
@@ -348,10 +448,12 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
             row = 0 if k in (0, 1) else 1
             inss = [(pos, mi, seq) for mi, ri in enumerate(idxs)
                     for (pos, seq) in tile.ins_by_read[ri]]
-            ins_at = decide_insertions(valid[idxs], inss, L)
+            valid = SpanValid(tile.row_starts[idxs],
+                              tile.row_starts[idxs] + tile.row_lens[idxs])
+            ins_at = decide_insertions(valid, inss, L)
             own, _rival = group_exclusive_sets(groups, psid, k)
             ins_at = add_clip_insertions(ins_at, tile.usable, idxs, start, L,
-                                         own=own, valid=valid[idxs],
+                                         own=own, valid=valid,
                                          cfg=cfg.assembly)
             contig, segs = stitch_contig_segments(sym[row], cov[row], ins_at)
         if contig is None:

@@ -380,15 +380,38 @@ def run_target_mode(
                   contigs={c: fasta.lengths()[c]} if c in fasta.seqs else None)
         chrom_vcfs.append(vcf_path)
     if process_count > 1:
+        import jax
+
         from focalsv_tpu.parallel import distributed as dist
         host_vcf = dist.host_vcf_path(out_dir, process_index)
         tmp = host_vcf + ".tmp"
         merge_vcfs(chrom_vcfs, tmp, contigs=fasta.lengths())
         os.replace(tmp, host_vcf)   # atomic: the merge barrier keys on this
+        final_path = os.path.join(out_dir, "FocalSV_Final_SV.vcf")
+        if jax.process_count() == process_count:
+            # true jax.distributed run: gather every host's records over
+            # device collectives (ICI/DCN) instead of the filesystem, then
+            # dedup ONCE at the gather point -- SVs straddling a shard
+            # boundary collapse here (parallel/gather.py)
+            from focalsv_tpu.calling.dedup import dedup_records as _dedup
+            from focalsv_tpu.io.vcf import read_vcf, sort_records
+            from focalsv_tpu.parallel.gather import allgather_records
+            _, host_records = read_vcf(host_vcf)
+            global_records = allgather_records(host_records)
+            if process_index != 0:
+                return host_vcf
+            global_records, _ = _dedup(sort_records(global_records),
+                                       cfg.dedup)
+            write_vcf(final_path, sort_records(global_records),
+                      contigs=fasta.lengths())
+            logger.info("final VCF (collective gather): %s", final_path)
+            return final_path
         if process_index != 0:
             return host_vcf
-        # host 0 merges every host's shard (best effort: present files only)
-        final = dist.merge_host_vcfs(out_dir, process_count)
+        # emulated/multi-process-without-jax.distributed fallback: host-0
+        # file merge with the same cross-shard dedup at the merge point
+        final = dist.merge_host_vcfs(out_dir, process_count,
+                                     dedup_cfg=cfg.dedup)
         logger.info("final VCF: %s", final)
         return final
     final = os.path.join(out_dir, "FocalSV_Final_SV.vcf")

@@ -65,6 +65,64 @@ def test_target_inv_window(tmp_path):
     assert res.all_records()
 
 
+def test_target_tra_bounded_fetch(tmp_path):
+    """TRA mate lookup uses SA-tag coordinates with bounded BAI fetches --
+    never a genome-wide scan (reference: Reads_Based_TRA_Call.py:180 locates
+    mates from SA tags)."""
+    rng = np.random.default_rng(5)
+    L1, L2 = 200_000, 200_000
+    bp1, bp2 = 100_000, 50_000       # chr1:100k | chr2:50k junction
+    p = str(tmp_path / "tra.bam")
+    w = bamio.BamWriter(p, ["chr1", "chr2"], [L1, L2])
+    recs1, recs2 = [], []
+    for i in range(12):
+        a = 5000 + 200 * i           # left-segment length
+        b = 12_000 - a
+        seq = rng.integers(0, 4, 12_000).astype(np.uint8)
+        qual = np.full(12_000, 40, np.uint8)
+        sa2 = f"chr2,{bp2 + 1},+,{a}S{b}M,60,0;"
+        sa1 = f"chr1,{bp1 - a + 1},+,{a}M{b}S,60,0;"
+        recs1.append(bamio.BamRecord(
+            name=f"r{i}", flag=0, ref_id=0, pos=bp1 - a, mapq=60,
+            cigar=np.array([[bamio.CMATCH, a], [bamio.CSOFT_CLIP, b]],
+                           np.int32),
+            seq=seq, qual=qual, tags={"SA": sa2}))
+        recs2.append(bamio.BamRecord(
+            name=f"r{i}", flag=bamio.FLAG_SUPPLEMENTARY, ref_id=1, pos=bp2,
+            mapq=60,
+            cigar=np.array([[bamio.CSOFT_CLIP, a], [bamio.CMATCH, b]],
+                           np.int32),
+            seq=seq, qual=qual, tags={"SA": sa1}))
+    for r in sorted(recs1, key=lambda r: r.pos):
+        w.write(r)
+    for r in sorted(recs2, key=lambda r: r.pos):
+        w.write(r)
+    w.close()
+    bamio.build_bai(p)
+    bam = bamio.BamReader(p)
+
+    fetches = []
+    orig_fetch = bam.fetch
+
+    def spy_fetch(chrom, start=0, end=None):
+        fetches.append((chrom, start, end))
+        return orig_fetch(chrom, start, end)
+
+    bam.fetch = spy_fetch
+    res = ctarget.call_complex_target(
+        bam, {"TRA": [Region("chr1", 95_000, 105_000)]}, "HIFI",
+        min_support=2)
+    assert res.tras, "no TRA called"
+    best = max(res.tras, key=lambda r: r.info["SUPPORT"])
+    assert best.chrom == "chr1" and abs(best.pos - bp1) < 1500
+    assert "chr2" in best.alt
+    # every fetch is bounded and narrow (no whole-chromosome scan)
+    assert fetches
+    for chrom, start, end in fetches:
+        assert end is not None, "unbounded fetch"
+        assert end - start < 60_000, f"fetch too wide: {chrom}:{start}-{end}"
+
+
 def test_split_typed_bed():
     rows = [
         (Region("chr1", 0, 100), "DUP"),

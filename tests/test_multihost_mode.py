@@ -55,6 +55,64 @@ def test_two_host_sharded_run(tmp_path):
     assert len(h0) >= 1 and len(h1) >= 1
 
 
+def test_boundary_straddling_duplicate_collapses(tmp_path):
+    """An SV inside the OVERLAP of two hosts' shard-boundary regions is
+    called by both hosts; the host-0 merge must collapse it to one record
+    (cross-shard dedup at the gather point)."""
+    rng = np.random.default_rng(23)
+    svs = [sim.SimSV("DEL", 27_000, 220, "1/1")]
+    region = sim.simulate_region(seed=901, ref_len=50_000, coverage=20,
+                                 n_snps=35, svs=svs, chrom="chr21")
+    bam = str(tmp_path / "r.bam")
+    sim.write_region_bam(region, bam)
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, [("chr21", region.ref)])
+    bed = str(tmp_path / "t.bed")
+    # spans overlap across the shard boundary: both shards cover the SV
+    # equal spans so the span-balanced sharder gives one region per host
+    write_bed(bed, [Region("chr21", 10_000, 32_000),
+                    Region("chr21", 22_000, 44_000)])
+    out = str(tmp_path / "out")
+    cfg = preset(DataType.HIFI)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f0 = ex.submit(pm.run_target_mode, bam, ref, out, cfg,
+                       target_bed=bed, process_index=0, process_count=2)
+        f1 = ex.submit(pm.run_target_mode, bam, ref, out, cfg,
+                       target_bed=bed, process_index=1, process_count=2)
+        f1.result(timeout=600)
+        final = f0.result(timeout=600)
+    # both hosts called the DEL on their own shard
+    _, h0 = read_vcf(os.path.join(out, "host0.vcf"))
+    _, h1 = read_vcf(os.path.join(out, "host1.vcf"))
+    assert any(r.svtype == "DEL" for r in h0)
+    assert any(r.svtype == "DEL" for r in h1)
+    # ...but the genome-wide VCF carries it once
+    _, calls = read_vcf(final)
+    dels = [r for r in calls if r.svtype == "DEL"
+            and abs(r.pos - 27_000) < 2_000]
+    assert len(dels) == 1, [(r.pos, r.info) for r in calls]
+
+
+def test_gather_records_roundtrip():
+    """Fixed-width record encode/decode is lossless (the collective-gather
+    wire format, parallel/gather.py); single-process allgather is identity."""
+    from focalsv_tpu.io.vcf import VcfRecord
+    from focalsv_tpu.parallel import gather
+
+    recs = [
+        VcfRecord("chr21", 100, "a", "ATTTT", "A", "20", "PASS",
+                  {"SVTYPE": "DEL", "SVLEN": -4, "TIG_REGION": "c:0-1"},
+                  "0/1"),
+        VcfRecord("chr2", 99, "b", "A", "A" + "ACGT" * 200, ".", "PASS",
+                  {"SVTYPE": "INS", "SVLEN": 800}, "1/1"),
+    ]
+    payload, width = gather.encode_records(recs)
+    back = gather.decode_records(payload)
+    assert [r.to_line() for r in back] == [r.to_line() for r in recs]
+    assert gather.allgather_records(recs) == recs
+
+
 def test_merge_barrier_raises_on_missing_host(tmp_path):
     """A straggler host must fail the merge loudly (named), never shrink the
     genome-wide VCF silently."""
