@@ -1,42 +1,85 @@
-"""Evaluation CLI: benchmark a call VCF against a truth VCF with the
-reference's Truvari protocol parameters (evaluation/Table2-4/
-truvari_eval_wgs.sh:20-24: refdist 500, pctsize 0.5, pctsim 0.5, sizemin 50,
-INS and DEL evaluated separately), implemented in-process
-(focalsv_tpu/evaluation/compare.py) since truvari is not in this image.
+"""Evaluation CLI: the reference's `6_evaluation` protocol end-to-end,
+in-process (truvari is not in this image; the matcher is
+focalsv_tpu/evaluation/compare.py with the reference's parameters —
+`evaluation/Table2-4/truvari_eval_wgs.sh:20-24`: refdist 500, pctsize 0.5,
+pctsim 0.5, sizemin 50, INS and DEL evaluated separately).
 
-    focalsv-tpu-eval --call calls.vcf --truth truth.vcf [--sizemin 50]
+Subcommands (reference analogs):
+
+    focalsv-tpu-eval bench --call calls.vcf --truth truth.vcf
+        one matching run, JSON to stdout (truvari bench analog);
+        also the default when no subcommand is given (back-compat).
+
+    focalsv-tpu-eval filter --vcf calls.vcf --out_dir D [--chrs chr21 ...]
+        INS/DEL split + XY drop → *_DEL_noXY.vcf / *_INS_noXY.vcf /
+        *_DEL_INS_noXY.vcf (6_evaluation/vcf_filter.py).
+
+    focalsv-tpu-eval protocol --call calls.vcf --truth truth.vcf --out_dir D
+        the full 6_evaluation/truvari_eval.sh flow: filter both VCFs,
+        bench DEL and INS separately, and write the per-type metric table
+        `Truvari_results.csv` with the reference parser's row order
+        (6_evaluation/truvari_result_parser_indel.py:11-22).
 """
 
 from __future__ import annotations
 
 import argparse
+import csv
 import json
+import os
 import sys
 
+# row order of the reference result parser
+# (6_evaluation/truvari_result_parser_indel.py:11-22; "FN" appears twice
+# there, once in the call block and once in the gt block — kept verbatim)
+RESULT_KEYS = [
+    "TP-call", "FP", "FN", "recall", "precision", "f1",
+    "TP-call_TP-gt", "TP-call_FP-gt", "FN",
+    "gt_recall", "gt_precision", "gt_f1",
+]
 
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser(prog="focalsv-tpu-eval")
+
+def _bench_one(call_path, truth_path, svtype, refdist, pctsize, pctsim,
+               sizemin):
+    from focalsv_tpu.evaluation.compare import match_records
+    from focalsv_tpu.io.vcf import read_vcf
+
+    _, calls = read_vcf(call_path)
+    _, truth = read_vcf(truth_path)
+    c = [r for r in calls if r.svtype == svtype]
+    t = [r for r in truth if r.svtype == svtype]
+    return match_records(c, t, refdist=refdist, pctsize=pctsize,
+                         pctsim=pctsim, sizemin=sizemin)
+
+
+def _summary_col(b) -> list:
+    """BenchResult -> the parser's metric column (RESULT_KEYS order)."""
+    tp_gt = b.gt_correct
+    fp_gt = b.gt_total - b.gt_correct
+    gt_recall = tp_gt / max(b.tp + b.fn, 1)
+    gt_precision = tp_gt / max(b.tp + b.fp, 1)
+    gt_f1 = 2 * gt_precision * gt_recall / max(gt_precision + gt_recall,
+                                               1e-9)
+    r4 = lambda x: round(x, 4)  # noqa: E731
+    return [b.tp, b.fp, b.fn, r4(b.recall), r4(b.precision), r4(b.f1),
+            tp_gt, fp_gt, b.fn, r4(gt_recall), r4(gt_precision), r4(gt_f1)]
+
+
+def _add_bench_args(p):
     p.add_argument("--call", required=True)
     p.add_argument("--truth", required=True)
     p.add_argument("--refdist", type=int, default=500)
     p.add_argument("--pctsize", type=float, default=0.5)
     p.add_argument("--pctsim", type=float, default=0.5)
     p.add_argument("--sizemin", type=int, default=50)
-    p.add_argument("--svtype", choices=["INS", "DEL", "ALL"], default="ALL")
-    args = p.parse_args(argv)
 
-    from focalsv_tpu.evaluation.compare import match_records
-    from focalsv_tpu.io.vcf import read_vcf
 
-    _, calls = read_vcf(args.call)
-    _, truth = read_vcf(args.truth)
+def cmd_bench(args) -> int:
     out = {}
     types = ["INS", "DEL"] if args.svtype == "ALL" else [args.svtype]
     for svtype in types:
-        c = [r for r in calls if r.svtype == svtype]
-        t = [r for r in truth if r.svtype == svtype]
-        b = match_records(c, t, refdist=args.refdist, pctsize=args.pctsize,
-                          pctsim=args.pctsim, sizemin=args.sizemin)
+        b = _bench_one(args.call, args.truth, svtype, args.refdist,
+                       args.pctsize, args.pctsim, args.sizemin)
         out[svtype] = dict(tp=b.tp, fp=b.fp, fn=b.fn,
                            recall=round(b.recall, 4),
                            precision=round(b.precision, 4),
@@ -44,6 +87,79 @@ def main(argv=None) -> int:
                            gt_concordance=round(b.gt_concordance, 4))
     print(json.dumps(out, indent=2))
     return 0
+
+
+def cmd_filter(args) -> int:
+    from focalsv_tpu.evaluation.vcf_filter import filter_vcf
+    paths = filter_vcf(args.vcf, args.out_dir, chrs=args.chrs,
+                       dipcall=args.dipcall)
+    print(json.dumps(paths, indent=2))
+    return 0
+
+
+def cmd_protocol(args) -> int:
+    from focalsv_tpu.evaluation.vcf_filter import filter_vcf
+    os.makedirs(args.out_dir, exist_ok=True)
+    call_paths = filter_vcf(args.call, args.out_dir, chrs=args.chrs,
+                            dipcall=args.dipcall)
+    truth_dir = os.path.join(args.out_dir, "truth")
+    truth_paths = filter_vcf(args.truth, truth_dir, chrs=args.chrs)
+    cols = {}
+    summary = {}
+    for svtype in ("INS", "DEL"):
+        b = _bench_one(call_paths[svtype], truth_paths[svtype], svtype,
+                       args.refdist, args.pctsize, args.pctsim,
+                       args.sizemin)
+        # reference output dir naming: INS_50_/DEL_50_ (truvari_eval.sh:55-57)
+        cols[f"{svtype}_{args.sizemin}_"] = _summary_col(b)
+        summary[svtype] = dict(tp=b.tp, fp=b.fp, fn=b.fn,
+                               recall=round(b.recall, 4),
+                               precision=round(b.precision, 4),
+                               f1=round(b.f1, 4))
+    out_csv = os.path.join(args.out_dir, "Truvari_results.csv")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        names = list(cols)
+        w.writerow(["metric"] + names)
+        for i, key in enumerate(RESULT_KEYS):
+            w.writerow([key] + [cols[n][i] for n in names])
+    print(json.dumps({"results": summary, "table": out_csv}, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # back-compat: `focalsv-tpu-eval --call ... --truth ...` == bench
+    if argv and argv[0].startswith("--"):
+        argv = ["bench"] + list(argv)
+
+    p = argparse.ArgumentParser(prog="focalsv-tpu-eval")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("bench", help="match a call VCF against truth")
+    _add_bench_args(pb)
+    pb.add_argument("--svtype", choices=["INS", "DEL", "ALL"],
+                    default="ALL")
+    pb.set_defaults(fn=cmd_bench)
+
+    pf = sub.add_parser("filter", help="INS/DEL split + XY drop")
+    pf.add_argument("--vcf", "-v", required=True)
+    pf.add_argument("--out_dir", "-o_dir", required=True)
+    pf.add_argument("--chrs", nargs="+", default=None)
+    pf.add_argument("--dipcall", action="store_true")
+    pf.set_defaults(fn=cmd_filter)
+
+    pp = sub.add_parser("protocol",
+                        help="filter + per-type bench + result table")
+    _add_bench_args(pp)
+    pp.add_argument("--out_dir", required=True)
+    pp.add_argument("--chrs", nargs="+", default=None)
+    pp.add_argument("--dipcall", action="store_true")
+    pp.set_defaults(fn=cmd_protocol)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

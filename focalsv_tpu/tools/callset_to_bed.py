@@ -38,6 +38,11 @@ def _read_rows(path: str) -> list[list[str]]:
         for ln, line in enumerate(f):
             sep = "\t" if "\t" in line else ","
             parts = [p.strip() for p in line.rstrip("\n").split(sep)]
+            if len(parts) < 7 or not any(parts):
+                if any(parts):
+                    print(f"{path}:{ln + 1}: skipping short row "
+                          f"({len(parts)} cols, need 7)", file=sys.stderr)
+                continue    # blank or malformed row
             if ln == 0 and not parts[2].replace(".", "").isdigit():
                 continue    # header
             out.append(parts)
@@ -47,15 +52,25 @@ def _read_rows(path: str) -> list[list[str]]:
 def convert(rows: list[list[str]]) -> list[tuple]:
     """Reference excel_to_bed semantics -> typed BED tuples."""
     beds: list[tuple] = []
-    for parts in rows:
+    for i, parts in enumerate(rows):
         # column 0 is the exported index (iloc[i, 1:7] in the reference)
         chrom1, pos1, chrom2, pos2, svsize, svtype = parts[1:7]
-        pos1, pos2 = int(float(pos1)), int(float(pos2))
+        try:
+            pos1, pos2 = int(float(pos1)), int(float(pos2))
+        except ValueError:
+            print(f"row {i + 1}: non-numeric position "
+                  f"({pos1!r}, {pos2!r}); skipped", file=sys.stderr)
+            continue
         svtype = svtype.upper()
         if chrom1 not in AUTOSOMES or chrom2 not in AUTOSOMES:
             continue
         if svtype == "DUP":
-            if int(float(svsize)) >= MAX_DUP:
+            try:
+                if int(float(svsize)) >= MAX_DUP:
+                    continue
+            except ValueError:
+                print(f"row {i + 1}: non-numeric DUP size {svsize!r}; "
+                      f"skipped", file=sys.stderr)
                 continue
             lo, hi = min(pos1, pos2), max(pos1, pos2)
             beds.append((chrom1, max(0, lo - FLANK), hi + FLANK, "DUP"))

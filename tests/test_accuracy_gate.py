@@ -19,27 +19,47 @@ from focalsv_tpu.evaluation.compare import (match_records,  # noqa: E402
 from focalsv_tpu.pipeline.region import process_region  # noqa: E402
 
 
-def _run(dtype: str, case: str, seeds) -> tuple[int, int, int]:
+def _run(dtype: str, case: str, seeds,
+         mode: str = "host") -> tuple[int, int, int]:
     cfg = preset(dtype)
     tp = fp = fn = 0
     for seed in seeds:
         region = make_case(seed, case, ERR_MODELS[dtype])
-        res = process_region(region.reads, region.ref, 0, region.chrom, cfg)
+        if mode == "device":
+            # the production device path: tile -> batched compiled
+            # phasing+consensus -> host finish (VERDICT r2 item 6)
+            from focalsv_tpu.pipeline import device_exec as dx
+            tile = dx.build_tile(region.reads, region.ref, 0, region.chrom,
+                                 cfg)
+            dev_outs = dx.run_device_step([tile], cfg)
+            res = dx.process_region_device(tile, dev_outs.get(0), cfg)
+        else:
+            res = process_region(region.reads, region.ref, 0, region.chrom,
+                                 cfg)
         truth = truth_from_sim(region.svs, region.chrom, region.ref)
         b = match_records(res.records, truth, check_seq=(dtype == "HIFI"))
         tp, fp, fn = tp + b.tp, fp + b.fp, fn + b.fn
     return tp, fp, fn
 
 
+@pytest.mark.parametrize("mode", ["host", "device"])
 @pytest.mark.parametrize("case,min_f1", [
     ("basic", 1.0), ("nested", 1.0), ("dropout", 1.0), ("repeat", 0.85),
 ])
-def test_hifi_accuracy_floor(case, min_f1):
-    tp, fp, fn = _run("HIFI", case, [4000 + 97 * i for i in range(4)])
+def test_hifi_accuracy_floor(case, min_f1, mode):
+    tp, fp, fn = _run("HIFI", case, [4000 + 97 * i for i in range(4)],
+                      mode=mode)
     rec = tp / max(tp + fn, 1)
     prec = tp / max(tp + fp, 1)
     f1 = 2 * prec * rec / max(prec + rec, 1e-9)
-    assert f1 >= min_f1, (case, tp, fp, fn)
+    assert f1 >= min_f1, (mode, case, tp, fp, fn)
+
+
+def test_noisy_device_floor():
+    """Noisy dtypes through the production device path, truth-checked."""
+    for dtype in ("CLR", "ONT"):
+        tp, fp, fn = _run(dtype, "basic", [4000, 4097], mode="device")
+        assert fn == 0 and fp == 0, (dtype, tp, fp, fn)
 
 
 def test_noisy_basic_floor():

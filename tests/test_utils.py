@@ -92,3 +92,107 @@ def test_callset_to_bed_converter(tmp_path):
     assert ["chr4", "8950000", "9050000", "TRA"] in rows
     assert ["chr7", "2950000", "3050000", "TRA"] in rows
     assert not any(r[0] in ("chr2", "chrX") for r in rows)
+
+
+def test_callset_to_bed_malformed_rows(tmp_path, capsys):
+    """Blank and short rows are skipped with a line-numbered note instead
+    of raising (advisor finding r2)."""
+    from focalsv_tpu.tools.callset_to_bed import main
+
+    csv = tmp_path / "calls.csv"
+    csv.write_text(
+        ",chrom1,pos1,chrom2,pos2,svsize,svtype\n"
+        "\n"
+        "0,chr1,1000000,chr1,1200000,200000,DUP\n"
+        "short,row\n"
+        "1,chr5,notanumber,chr5,2000000,100,DUP\n"
+    )
+    out = tmp_path / "regions.bed"
+    assert main([str(csv), str(out)]) == 0
+    rows = out.read_text().splitlines()
+    assert len(rows) == 1 and rows[0].startswith("chr1\t")
+    err = capsys.readouterr().err
+    assert "skipping short row" in err and "non-numeric position" in err
+
+
+def test_eval_filter_and_protocol(tmp_path):
+    """6_evaluation port: INS/DEL split + XY drop (vcf_filter.py) and the
+    full protocol flow with the result-parser table
+    (truvari_result_parser_indel.py:11-22)."""
+    import csv as csvmod
+
+    from focalsv_tpu.evaluation import cli as ecli
+    from focalsv_tpu.evaluation.vcf_filter import filter_vcf
+    from focalsv_tpu.io.vcf import VcfRecord, read_vcf, write_vcf
+
+    def rec(chrom, pos, svtype, length, gt="0/1"):
+        if svtype == "DEL":
+            ref, alt = "A" + "G" * length, "A"
+            svlen = -length
+        else:
+            ref, alt = "A", "A" + "G" * length
+            svlen = length
+        return VcfRecord(chrom, pos, f"{chrom}_{pos}", ref, alt,
+                         info={"SVTYPE": svtype, "SVLEN": svlen}, gt=gt)
+
+    calls = [rec("chr1", 1000, "DEL", 100), rec("chr1", 5000, "INS", 80),
+             rec("chrX", 2000, "DEL", 90),    # XY: dropped
+             rec("chr2", 3000, "INS", 60)]
+    truth = [rec("chr1", 1010, "DEL", 95), rec("chr1", 5020, "INS", 78),
+             rec("chr2", 3010, "INS", 64),
+             rec("chr2", 9000, "DEL", 70)]    # missed -> FN
+    cp, tp = str(tmp_path / "c.vcf"), str(tmp_path / "t.vcf")
+    write_vcf(cp, calls)
+    write_vcf(tp, truth)
+
+    paths = filter_vcf(cp, str(tmp_path / "f"))
+    _, dels = read_vcf(paths["DEL"])
+    _, inss = read_vcf(paths["INS"])
+    _, both = read_vcf(paths["both"])
+    assert [r.chrom for r in dels] == ["chr1"]          # chrX dropped
+    assert sorted(r.chrom for r in inss) == ["chr1", "chr2"]
+    assert len(both) == 3
+
+    # --chrs restriction (truvari_eval.sh:30 passes a single chromosome)
+    only1 = filter_vcf(cp, str(tmp_path / "f1"), chrs=["chr1"])
+    _, ins1 = read_vcf(only1["INS"])
+    assert [r.chrom for r in ins1] == ["chr1"]
+
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = ecli.main(["protocol", "--call", cp, "--truth", tp,
+                        "--out_dir", str(tmp_path / "proto")])
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    assert out["results"]["DEL"] == dict(tp=1, fp=0, fn=1, recall=0.5,
+                                         precision=1.0, f1=0.6667)
+    assert out["results"]["INS"]["tp"] == 2
+    with open(out["table"]) as f:
+        table = list(csvmod.reader(f))
+    assert table[0] == ["metric", "INS_50_", "DEL_50_"]
+    assert [row[0] for row in table[1:]] == ecli.RESULT_KEYS
+    # DEL column: TP-call=1, FP=0, FN=1
+    del_col = {row[0]: row[2] for row in table[1:4]}
+    assert del_col == {"TP-call": "1", "FP": "0", "FN": "1"}
+
+
+def test_eval_filter_dipcall_mode(tmp_path):
+    """--dipcall classifies by allele length with the >49 bp floor
+    (vcf_filter.py:58-65)."""
+    from focalsv_tpu.evaluation.vcf_filter import filter_vcf
+    from focalsv_tpu.io.vcf import VcfRecord, read_vcf, write_vcf
+
+    recs = [
+        VcfRecord("chr1", 100, "d", "A" + "C" * 60, "A", info={}, gt="0/1"),
+        VcfRecord("chr1", 200, "i", "A", "A" + "C" * 55, info={}, gt="0/1"),
+        VcfRecord("chr1", 300, "s", "A" + "C" * 30, "A", info={}, gt="0/1"),
+    ]
+    p = str(tmp_path / "d.vcf")
+    write_vcf(p, recs)
+    paths = filter_vcf(p, str(tmp_path / "o"), dipcall=True)
+    _, dels = read_vcf(paths["DEL"])
+    _, inss = read_vcf(paths["INS"])
+    assert [r.id for r in dels] == ["d"]   # 30 bp indel below the floor
+    assert [r.id for r in inss] == ["i"]
