@@ -130,7 +130,8 @@ def make_case(seed: int, case: str, err: dict, ref_len: int = 30_000,
     raise ValueError(case)
 
 
-def _child_init(dtype: str, pairhmm: bool = False):
+def _child_init(dtype: str, pairhmm: bool = False,
+                assembly: str = "guided"):
     import dataclasses
 
     import jax
@@ -140,6 +141,9 @@ def _child_init(dtype: str, pairhmm: bool = False):
     if pairhmm:
         cfg = cfg.replace(phasing=dataclasses.replace(cfg.phasing,
                                                       use_pairhmm=True))
+    if assembly != cfg.assembly.method:
+        cfg = cfg.replace(assembly=dataclasses.replace(cfg.assembly,
+                                                       method=assembly))
     _state["cfg"] = cfg
     _state["dtype"] = dtype
 
@@ -167,6 +171,8 @@ def main():
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--pairhmm", action="store_true",
                     help="enable pair-HMM het-site realignment")
+    ap.add_argument("--assembly", choices=["guided", "olc"],
+                    default="guided", help="local assembly mode")
     args = ap.parse_args()
 
     import multiprocessing as mp
@@ -178,10 +184,11 @@ def main():
             jobs = [(4000 + 97 * i, case, err) for i in range(args.regions)]
             if args.procs > 1:
                 with ctx.Pool(args.procs, initializer=_child_init,
-                              initargs=(dtype, args.pairhmm)) as pool:
+                              initargs=(dtype, args.pairhmm,
+                                        args.assembly)) as pool:
                     rows = pool.map(_child_run, jobs)
             else:
-                _child_init(dtype, args.pairhmm)
+                _child_init(dtype, args.pairhmm, args.assembly)
                 rows = [_child_run(j) for j in jobs]
             tp, fp, fn, gt_c, gt_t = (sum(r[i] for r in rows) for i in range(5))
             for i, v in enumerate((tp, fp, fn, gt_c, gt_t)):

@@ -41,6 +41,86 @@ class Overlap:
     identity: float
 
 
+def orient_reads(
+    seqs: list[np.ndarray], k: int = 15, w: int = 10, min_shared: int = 8,
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Resolve relative read orientations before overlap detection.
+
+    Minimizer hashes are canonical (ops/minimizer.py::kmer_hashes), so two
+    reads from opposite strands still share seeds -- each shared seed votes
+    for the pair's relative strand (sa XOR sb, hifiasm's anchor-strand
+    logic).  Pairwise parities are reconciled globally with a parity
+    union-find processed strongest-pair-first (odd cycles from repeat seeds
+    lose to heavier evidence), and the minority orientation within each
+    component is reverse-complemented.
+
+    Returns (oriented seqs, flipped bool per read).
+    """
+    n = len(seqs)
+    flip = np.zeros(n, bool)
+    if n < 2:
+        return list(seqs), flip
+    mins = [minimizers(s, k, w) for s in seqs]
+    table: dict[int, list[tuple[int, int]]] = {}
+    for ri, (pos, h, st) in enumerate(mins):
+        for hh, ss in zip(h, st):
+            table.setdefault(int(hh), []).append((ri, int(ss)))
+    votes: dict[tuple[int, int], list[int]] = {}
+    for entries in table.values():
+        if len(entries) > 32:        # repetitive seed
+            continue
+        for x in range(len(entries)):
+            for y in range(x + 1, len(entries)):
+                ra, sa = entries[x]
+                rb, sb = entries[y]
+                if ra == rb:
+                    continue
+                if ra > rb:
+                    ra, rb, sa, sb = rb, ra, sb, sa
+                v = votes.setdefault((ra, rb), [0, 0])
+                v[sa ^ sb] += 1
+    # parity union-find: rel[i] = orientation of i relative to its root
+    parent = np.arange(n)
+    rel = np.zeros(n, np.uint8)
+
+    def find(i: int) -> tuple[int, int]:
+        path = []
+        j = i
+        while parent[j] != j:
+            path.append(j)
+            j = parent[j]
+        root = j
+        suf = 0
+        for j in reversed(path):   # closest-to-root first: suffix XOR
+            suf ^= rel[j]
+            parent[j] = root
+            rel[j] = suf
+        return root, int(rel[i]) if path else 0
+
+    edges = sorted(
+        ((max(v), (v[1] > v[0]), a, b) for (a, b), v in votes.items()
+         if max(v) >= min_shared),
+        key=lambda e: -e[0])
+    for _, parity, a, b in edges:
+        ra, pa = find(a)
+        rb, pb = find(b)
+        if ra == rb:
+            continue        # conflicting parity loses to heavier evidence
+        parent[rb] = ra
+        rel[rb] = pa ^ pb ^ int(parity)
+    for i in range(n):
+        _, p = find(i)
+        flip[i] = bool(p)
+    # keep the majority orientation as-is within each component
+    roots = np.array([find(i)[0] for i in range(n)])
+    for r in np.unique(roots):
+        members = roots == r
+        if flip[members].sum() * 2 > members.sum():
+            flip[members] = ~flip[members]
+    out = [enc.revcomp(s) if flip[i] else s for i, s in enumerate(seqs)]
+    return out, flip
+
+
 def find_overlaps(
     seqs: list[np.ndarray], k: int = 15, w: int = 10,
     min_shared: int = 8, min_olp: int = 500, band: int = 256,
@@ -206,6 +286,10 @@ def assemble_olc(
         return None
     if len(seqs) == 1:
         return seqs[0]
+    # resolve strand mix first (region-BAM reads arrive reference-oriented,
+    # so this is a no-op there; true de-novo input needs it).  The contig
+    # comes out in the majority orientation of its component.
+    seqs, _ = orient_reads(seqs)
     overlaps = find_overlaps(seqs)
     layout = layout_reads(seqs, overlaps)
     contig = consensus_from_layout(seqs, layout, band=cfg.band_width)

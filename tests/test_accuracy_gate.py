@@ -75,3 +75,31 @@ def test_hifi_recoverable_large_ins_floor():
     # clip-recoverable INS); all within the bound
     tp, fp, fn = _run("HIFI", "large", [4000, 4097, 4388])
     assert fn == 0 and fp == 0, (tp, fp, fn)
+
+
+def test_olc_denovo_floor():
+    """De-novo OLC assembly floor on its proven classes (PARITY.md 'De-novo
+    OLC assembly' table): F1 1.0 on basic/nested for HIFI and basic for
+    noisy dtypes.  Guards the strand-orientation + overlap + layout +
+    polish stack against regressions."""
+    import dataclasses
+
+    tp = fp = fn = 0
+    for dtype, case, seeds in (
+        ("HIFI", "basic", [4000, 4097]),
+        ("HIFI", "nested", [4000]),
+        ("CLR", "basic", [4000]),
+        ("ONT", "basic", [4097]),
+    ):
+        cfg = preset(dtype)
+        cfg = cfg.replace(assembly=dataclasses.replace(cfg.assembly,
+                                                       method="olc"))
+        for seed in seeds:
+            region = make_case(seed, case, ERR_MODELS[dtype])
+            res = process_region(region.reads, region.ref, 0, region.chrom,
+                                 cfg)
+            truth = truth_from_sim(region.svs, region.chrom, region.ref)
+            b = match_records(res.records, truth,
+                              check_seq=(dtype == "HIFI"))
+            tp, fp, fn = tp + b.tp, fp + b.fp, fn + b.fn
+    assert fn == 0 and fp == 0, (tp, fp, fn)

@@ -68,3 +68,39 @@ def test_olc_noisy_reads():
     assert contig is not None
     sim = edit_similarity(contig, hap, band=512)
     assert sim > 0.95, f"similarity {sim}"
+
+
+def test_orient_reads_parity():
+    """Strand bipartition: RC'd reads are detected and flipped back."""
+    rng = np.random.default_rng(11)
+    hap = rng.integers(0, 4, 20_000).astype(np.uint8)
+    reads = _reads_from(hap, rng, n=12, rl=5_000)
+    flipped_in = [1, 4, 5, 9]
+    mixed = [enc.revcomp(r) if i in flipped_in else r
+             for i, r in enumerate(reads)]
+    oriented, flip = olc.orient_reads(mixed)
+    # consistent orientation: either exactly the flipped set, or its
+    # complement (global orientation is arbitrary within a component)
+    got = set(np.nonzero(flip)[0].tolist())
+    assert got in (set(flipped_in), set(range(12)) - set(flipped_in)), got
+    # every oriented read matches its original up to the declared flip
+    for i, r in enumerate(oriented):
+        s = max(edit_similarity(r, reads[i], band=64),
+                edit_similarity(r, enc.revcomp(reads[i]), band=64))
+        assert s > 0.99
+
+
+def test_olc_assembles_strand_mixed_reads():
+    """De-novo assembly from a 50/50 strand mix reconstructs the haplotype
+    (hifiasm handles this natively; forward-only overlap would fragment)."""
+    rng = np.random.default_rng(12)
+    hap = rng.integers(0, 4, 20_000).astype(np.uint8)
+    reads = _reads_from(hap, rng, n=12, rl=5_000)
+    mixed = [enc.revcomp(r) if i % 2 else r for i, r in enumerate(reads)]
+    contig = olc.assemble_olc(mixed)
+    assert contig is not None
+    assert len(contig) > 18_000
+    sim = max(edit_similarity(contig, hap, band=512),
+              edit_similarity(enc.revcomp(np.asarray(contig)), hap,
+                              band=512))
+    assert sim > 0.98, f"similarity {sim}"
