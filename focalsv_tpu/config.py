@@ -225,13 +225,14 @@ class ExecutionConfig:
     """
 
     mode: str = "device"                # "device" | "host"
-    # HBM working-set budget per device dispatch (bytes of pileup tile).
-    # Batch size 8 measured best on the tunneled link: larger single
-    # device->host buffers hit a pathological transfer path (122 s for a
-    # 3.5 MB G=32 result vs 1.5 s for the same work as 4x G=8), and
-    # concurrent in-flight batches already pipeline the per-dispatch latency
-    batch_bytes: int = 128 << 20
-    max_regions_per_batch: int = 8
+    # HBM working-set budget per device dispatch (bytes of pileup tile;
+    # the kernel's lax.map bounds the live expansion to 8 regions at a
+    # time, so this caps the *transfer* batch).  G=16 measured best on the
+    # tunneled v5e with the BLOCK-gather kernel (r3): ~15% over G=8 on
+    # small buckets, flat above; no large-result d2h pathology observed
+    # (r2's 122s/3.5MB measurement did not reproduce post-rework)
+    batch_bytes: int = 256 << 20
+    max_regions_per_batch: int = 16
     # tiles above these bounds fall back to the host per-region path
     max_tile_reads: int = 1024
     max_tile_len: int = 1 << 18

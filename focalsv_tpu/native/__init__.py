@@ -65,6 +65,92 @@ def get_scan_lib():
     return _scan_lib
 
 
+_PARSE_SO = os.path.join(_DIR, "libfocalsv_bamparse.so")
+_PARSE_SRC = os.path.join(_DIR, "bamparse.cpp")
+_parse_lib = None
+_parse_tried = False
+
+
+def get_parse_lib():
+    """The native batch BAM record parser library, or None."""
+    global _parse_lib, _parse_tried
+    if _parse_lib is not None or _parse_tried:
+        return _parse_lib
+    _parse_tried = True
+    if not os.path.exists(_PARSE_SO) or (
+            os.path.exists(_PARSE_SRC)
+            and os.path.getmtime(_PARSE_SRC) > os.path.getmtime(_PARSE_SO)):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _PARSE_SRC,
+                 "-o", _PARSE_SO],
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_PARSE_SO)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.bamparse_count.restype = ctypes.c_int64
+        lib.bamparse_count.argtypes = [u8p, ctypes.c_int64,
+                                       i64p, i64p, i64p]
+        lib.bamparse_fill.restype = ctypes.c_int64
+        lib.bamparse_fill.argtypes = (
+            [u8p, ctypes.c_int64]
+            + [i32p] * 7                       # fixed fields
+            + [i64p, i32p] * 4                 # name/cig/seq/tags off+len
+            + [i32p, u8p, u8p])                # cig_out, seq_out, qual_out
+        _parse_lib = lib
+    except OSError:
+        _parse_lib = None
+    return _parse_lib
+
+
+def parse_records_batch(data) -> tuple | None:
+    """Batch-parse concatenated BAM records -> column arrays, or None.
+
+    Returns (fixed, spans, cig_out, seq_out, qual_out, consumed) where
+    fixed is a dict of int32 arrays (ref_id/pos/mapq/flag/next_ref/
+    next_pos/tlen), spans a dict of (off, len) arrays for
+    name/cigar/seq/tags, and consumed the byte length of the parsed
+    complete-record prefix."""
+    lib = get_parse_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    n = ctypes.c_int64(buf.size)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    tot_cig = ctypes.c_int64(0)
+    tot_seq = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+    nrec = lib.bamparse_count(bp, n, ctypes.byref(tot_cig),
+                              ctypes.byref(tot_seq), ctypes.byref(consumed))
+    if nrec <= 0:
+        return None
+    i32 = lambda: np.empty(nrec, np.int32)        # noqa: E731
+    i64 = lambda: np.empty(nrec, np.int64)        # noqa: E731
+    fixed = {k: i32() for k in ("ref_id", "pos", "mapq", "flag",
+                                "next_ref", "next_pos", "tlen")}
+    spans = {k: (i64(), i32()) for k in ("name", "cig", "seq", "tags")}
+    cig_out = np.empty((int(tot_cig.value), 2), np.int32)
+    seq_out = np.empty(int(tot_seq.value), np.uint8)
+    qual_out = np.empty(int(tot_seq.value), np.uint8)
+    P = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))   # noqa: E731
+    got = lib.bamparse_fill(
+        bp, n,
+        *[P(fixed[k], ctypes.c_int32) for k in
+          ("ref_id", "pos", "mapq", "flag", "next_ref", "next_pos", "tlen")],
+        *[p for k in ("name", "cig", "seq", "tags")
+          for p in (P(spans[k][0], ctypes.c_int64),
+                    P(spans[k][1], ctypes.c_int32))],
+        P(cig_out, ctypes.c_int32), P(seq_out, ctypes.c_uint8),
+        P(qual_out, ctypes.c_uint8))
+    if got != nrec:
+        return None
+    return fixed, spans, cig_out, seq_out, qual_out, int(consumed.value)
+
+
 def get_lib():
     """The loaded native library, or None if unavailable."""
     global _lib, _tried

@@ -63,11 +63,15 @@ def pack_nibbles(mat: np.ndarray, L_pad: int | None = None) -> np.ndarray:
     padded to the 128-lane tile on TPU -- a 64x HBM blowup that OOMs at
     100 kb regions; the split-half unpack is a plain last-axis concatenate.
     Columns beyond L are NOCOV padding (so L_pad just extends the tile)."""
-    nib = NIB_MAP[mat]
-    L = nib.shape[1]
+    L = mat.shape[1]
     if L_pad is None:
         L_pad = L + (L % 2)
     assert L_pad % 2 == 0 and L_pad >= L
+    # NIB_MAP as arithmetic (symbols <6 map to themselves, DEL_SYM -> 5,
+    # rest -> 15): a 256-entry fancy index over the full tile ran ~4x
+    # slower than two vectorized selects
+    nib = np.where(mat < 6, mat,
+                   np.where(mat == DEL_SYM, np.uint8(5), np.uint8(15)))
     if L_pad > L:
         nib = np.concatenate(
             [nib, np.full((nib.shape[0], L_pad - L), 15, np.uint8)], axis=1)
@@ -76,10 +80,17 @@ def pack_nibbles(mat: np.ndarray, L_pad: int | None = None) -> np.ndarray:
 
 
 def _unpack_nibbles(packed: jax.Array, L: int) -> jax.Array:
-    """(..., L/2) split-half packed -> (..., L) uint8 pileup symbols."""
-    inv = jnp.asarray(_NIB_INV)
-    lo = inv[packed & 0xF]
-    hi = inv[packed >> 4]
+    """(..., L/2) split-half packed -> (..., L) uint8 pileup symbols.
+
+    The 16-entry inverse table is computed with two selects instead of a
+    table gather (gathers are the slow path on the TPU VPU; _NIB_INV is
+    n<5 -> n, 5 -> DEL_SYM, else NOCOV)."""
+    def inv(n):
+        return jnp.where(n < 5, n,
+                         jnp.where(n == 5, jnp.uint8(DEL_SYM),
+                                   jnp.uint8(NOCOV)))
+    lo = inv(packed & 0xF)
+    hi = inv(packed >> 4)
     return jnp.concatenate([lo, hi], axis=-1)[..., :L]
 
 
@@ -357,24 +368,35 @@ def phase_consensus_batch_packed(
     return out.reshape(G, -1)
 
 
-def pack_row_tile(rows: list[np.ndarray], W_pad: int) -> np.ndarray:
+# Row starts are quantized to BLOCK columns: the host pre-shifts each row
+# by start % BLOCK inside its buffer, and the device expansion gathers
+# BLOCK-contiguous chunks instead of single elements (a per-element
+# take_along_axis over the lane dim ran at ~35M cells/s on v5e; the block
+# gather moves 128-wide tiles).
+BLOCK = 128
+
+
+def pack_row_tile(rows: list[np.ndarray], W_pad: int,
+                  offsets=None) -> np.ndarray:
     """Compact per-read rows -> (R, W_pad/2) split-half packed nibbles.
 
-    Each row (consensus.compact_pileup_rows) is padded to W_pad with NOCOV
-    before nibble packing; the device gather treats columns outside
-    [start, start+W_pad) as NOCOV anyway, so padding is free coverage-wise.
+    Each row (consensus.compact_pileup_rows) is placed at ``offsets[i]``
+    (its start % BLOCK; 0 when offsets is None) and padded to W_pad with
+    NOCOV; the device expansion treats columns outside the row as NOCOV
+    anyway, so padding is free coverage-wise.
     """
     R = len(rows)
     mat = np.full((R, W_pad), NOCOV, np.uint8)
     for i, row in enumerate(rows):
-        mat[i, : len(row)] = row
+        o = 0 if offsets is None else int(offsets[i])
+        mat[i, o : o + len(row)] = row
     return pack_nibbles(mat, W_pad)
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES + ("L", "W"))
 def phase_consensus_rows_packed(
     packed_rows: jax.Array,  # (G, R, W//2) split-half packed compact rows
-    row_start: jax.Array,    # (G, R) int32 region column of each row's col 0
+    row_qstart: jax.Array,   # (G, R) int32 region BLOCK index of each row
     read_valid: jax.Array,   # (G, R) bool
     *,
     L: int,
@@ -390,34 +412,42 @@ def phase_consensus_rows_packed(
     purify_num: int = 1, purify_den: int = 2,
 ):
     """Production entry for COMPACT row tiles: rows expand into the (R, L)
-    pileup ON DEVICE with one gather, so the host never materializes (and
-    never transfers) the ~90%-NOCOV dense matrix -- h2d bytes drop from
-    R*L/2 to R*W/2 (W ~ read span << L for large regions).  Output: the
-    same flat buffer as phase_consensus_batch_packed."""
+    pileup ON DEVICE, so the host never materializes (and never transfers)
+    the ~90%-NOCOV dense matrix -- h2d bytes drop from R*L/2 to R*W/2
+    (W ~ read span << L for large regions).  Row starts arrive quantized
+    to BLOCK columns (pack_row_tile pre-shifts each row by start % BLOCK),
+    so the expansion is a BLOCK-contiguous chunk gather -- ~100x fewer
+    gather indices than the per-element formulation, which ran at only
+    ~35M pileup-cells/s on v5e.  Output: the same flat buffer as
+    phase_consensus_batch_packed."""
     kw = dict(
         max_sites=max_sites, mec_iters=mec_iters,
         min_site_depth=min_site_depth, min_minor_count=min_minor_count,
         lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
         purify_window=purify_window, purify_min_pairs=purify_min_pairs,
         purify_num=purify_num, purify_den=purify_den)
+    assert L % BLOCK == 0 and W % BLOCK == 0, (L, W)
+    nb_out, nb_in = L // BLOCK, W // BLOCK
 
-    def one(p, st, rv):
+    def one(p, q, rv):
         rows = _unpack_nibbles(p, W)                       # (R, W)
-        idx = jnp.arange(L, dtype=jnp.int32)[None, :] - st[:, None]
-        inb = (idx >= 0) & (idx < W)
-        m = jnp.take_along_axis(rows, jnp.clip(idx, 0, W - 1).astype(jnp.int32),
-                                axis=1)
-        m = jnp.where(inb, m, jnp.uint8(NOCOV))
+        R = rows.shape[0]
+        rb = rows.reshape(R, nb_in, BLOCK)
+        idx = jnp.arange(nb_out, dtype=jnp.int32)[None, :] - q[:, None]
+        inb = (idx >= 0) & (idx < nb_in)                   # (R, nb_out)
+        g = jnp.take_along_axis(
+            rb, jnp.clip(idx, 0, nb_in - 1)[..., None], axis=1)
+        m = jnp.where(inb[..., None], g, jnp.uint8(NOCOV)).reshape(R, L)
         return jnp.concatenate(_flat_parts(_one_region(m, rv, **kw), L))
 
     G = packed_rows.shape[0]
     inner = 8
     if G <= inner or G % inner != 0:
-        return jax.vmap(one)(packed_rows, row_start, read_valid)
+        return jax.vmap(one)(packed_rows, row_qstart, read_valid)
     # bounded working set: the expanded (inner, R, L) pileups exist for one
     # inner chunk at a time (full-G expansion OOMs HBM on large batches)
     p4 = packed_rows.reshape(G // inner, inner, *packed_rows.shape[1:])
-    s4 = row_start.reshape(G // inner, inner, row_start.shape[1])
+    s4 = row_qstart.reshape(G // inner, inner, row_qstart.shape[1])
     rv4 = read_valid.reshape(G // inner, inner, read_valid.shape[1])
     out = jax.lax.map(lambda args: jax.vmap(one)(*args), (p4, s4, rv4))
     return out.reshape(G, -1)

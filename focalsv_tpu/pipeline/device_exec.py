@@ -61,6 +61,7 @@ class RegionTile:
     nib: np.ndarray | None = None    # (R, W_pad/2) packed compact rows
     row_starts: np.ndarray | None = None   # (R,) int32 region column of col 0
     row_lens: np.ndarray | None = None     # (R,) int32 covered span length
+    q_starts: np.ndarray | None = None     # (R,) int32 start // BLOCK
     W_pad: int = 0
     ins_by_read: list = field(default_factory=list)
     _rows: list | None = None        # unpacked rows (host-side site gather)
@@ -107,14 +108,18 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
                       reads=reads, usable=usable)
     if usable:
         from focalsv_tpu.assembly.consensus import compact_pileup_rows
-        from focalsv_tpu.parallel.region_step import pack_row_tile
+        from focalsv_tpu.parallel.region_step import BLOCK, pack_row_tile
         rows, starts, inss = compact_pileup_rows(
             usable, list(range(len(usable))), region_start, len(ref_codes))
         tile._rows = rows
         tile.row_starts = starts
         tile.row_lens = np.array([len(r) for r in rows], np.int32)
-        tile.W_pad = _pow2(max(int(tile.row_lens.max()), 1), 1024)
-        tile.nib = pack_row_tile(rows, tile.W_pad)
+        # rows are pre-shifted by start % BLOCK so the device expansion is
+        # a BLOCK-chunk gather (region_step.pack_row_tile)
+        offs = (starts % BLOCK).astype(np.int32)
+        tile.q_starts = (starts // BLOCK).astype(np.int32)
+        tile.W_pad = _wbucket(int((tile.row_lens + offs).max()))
+        tile.nib = pack_row_tile(rows, tile.W_pad, offsets=offs)
         tile.ins_by_read = [[] for _ in usable]
         for pos, mi, seq in inss:
             tile.ins_by_read[mi].append((pos, seq))
@@ -126,6 +131,16 @@ def _pow2(n: int, lo: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _wbucket(n: int, step: int = 4096) -> int:
+    """Row-buffer width bucket: multiples of ``step`` (not pow2).
+
+    W_pad is pure h2d payload over a possibly-tunneled link; pow2 steps
+    wasted up to ~45% of the transferred bytes as NOCOV padding on typical
+    15-18 kb HiFi rows.  4096 keeps the extra compile shapes modest (a
+    handful per read-length regime, persisted in the XLA cache)."""
+    return max(step, -(-n // step) * step)
 
 
 def _len_bucket(n: int, lo: int = 4096) -> int:
@@ -223,7 +238,7 @@ def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
         t = tiles[ti]
         R = t.nib.shape[0]
         packed[g, :R] = t.nib
-        starts[g, :R] = t.row_starts
+        starts[g, :R] = t.q_starts
         rv[g, :R] = True
     if mesh is not None and mesh.size > 1:
         res = sharded_phase_consensus_rows_packed(packed, starts, rv, mesh,
