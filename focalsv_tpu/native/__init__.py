@@ -101,6 +101,16 @@ def get_parse_lib():
             + [i32p] * 7                       # fixed fields
             + [i64p, i32p] * 4                 # name/cig/seq/tags off+len
             + [i32p, u8p, u8p])                # cig_out, seq_out, qual_out
+        lib.tile_spans.restype = ctypes.c_int64
+        lib.tile_spans.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   i32p, i32p, i64p]
+        lib.tile_fill.restype = ctypes.c_int64
+        lib.tile_fill.argtypes = [i64p, i32p, i64p, i32p,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, i32p, u8p,
+                                  i32p, i32p, i64p, i32p, u8p]
         _parse_lib = lib
     except OSError:
         _parse_lib = None
@@ -149,6 +159,64 @@ def parse_records_batch(data) -> tuple | None:
     if got != nrec:
         return None
     return fixed, spans, cig_out, seq_out, qual_out, int(consumed.value)
+
+
+def build_tile_rows(recs, region_start: int, region_len: int,
+                    wbucket, block: int):
+    """Native compact pileup rows + split-half nibble pack in one pass.
+
+    Bit-identical to assembly/consensus.py::compact_pileup_rows followed
+    by region_step.pack_row_tile.  Returns (nib (R, W_pad/2) u8, starts
+    (R,) i32, lens (R,) i32, inss [(rpos, read_idx, seq u8)], W_pad), or
+    None when the native library is unavailable."""
+    lib = get_parse_lib()
+    if lib is None or not recs:
+        return None
+    R = len(recs)
+    cig_ptrs = np.empty(R, np.int64)
+    seq_ptrs = np.empty(R, np.int64)
+    n_cigs = np.empty(R, np.int32)
+    poss = np.empty(R, np.int32)
+    keep = []
+    for i, r in enumerate(recs):
+        cig = r.cigar
+        if not cig.flags.c_contiguous or cig.dtype != np.int32:
+            cig = np.ascontiguousarray(cig, np.int32)
+        seq = r.seq
+        if not seq.flags.c_contiguous or seq.dtype != np.uint8:
+            seq = np.ascontiguousarray(seq, np.uint8)
+        keep.append((cig, seq))
+        cig_ptrs[i] = cig.ctypes.data
+        n_cigs[i] = cig.shape[0]
+        seq_ptrs[i] = seq.ctypes.data
+        poss[i] = r.pos
+    P32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    P64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    P8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))   # noqa: E731
+    r0 = np.empty(R, np.int32)
+    r1 = np.empty(R, np.int32)
+    seq_total = ctypes.c_int64(0)
+    n_ins = int(lib.tile_spans(P64(cig_ptrs), P32(n_cigs), P32(poss), R,
+                               region_start, region_len,
+                               P32(r0), P32(r1), ctypes.byref(seq_total)))
+    lens = r1 - r0
+    offs = r0 % block
+    W_pad = wbucket(int((lens + offs).max()) if R else 1)
+    nib = np.full((R, W_pad // 2), 0xFF, np.uint8)
+    ins_rpos = np.empty(n_ins, np.int32)
+    ins_read = np.empty(n_ins, np.int32)
+    ins_off = np.empty(n_ins, np.int64)
+    ins_len = np.empty(n_ins, np.int32)
+    ins_seq = np.empty(int(seq_total.value), np.uint8)
+    got = int(lib.tile_fill(
+        P64(cig_ptrs), P32(n_cigs), P64(seq_ptrs), P32(poss),
+        R, region_start, region_len, W_pad, block, P32(r0), P8(nib),
+        P32(ins_rpos), P32(ins_read), P64(ins_off), P32(ins_len),
+        P8(ins_seq)))
+    inss = [(int(ins_rpos[k]), int(ins_read[k]),
+             ins_seq[ins_off[k]: ins_off[k] + ins_len[k]])
+            for k in range(got)]
+    return nib, r0, lens, inss, W_pad
 
 
 def get_lib():

@@ -128,3 +128,132 @@ int64_t bamparse_fill(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native region tile builder: the compact_pileup_rows walk + split-half
+// nibble packing (assembly/consensus.py::compact_pileup_rows +
+// parallel/region_step.py::pack_row_tile/pack_nibbles) in one pass.
+// Semantics are kept bit-identical to the Python implementations.
+// ---------------------------------------------------------------------
+
+namespace {
+// BAM cigar op codes (io/bam.py)
+enum { CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT_CLIP = 4,
+       CEQUAL = 7, CDIFF = 8 };
+const uint8_t NIB_DEL = 5, NIB_NOCOV = 15;
+const uint8_t SYM_DEL = 254;
+
+inline uint8_t sym2nib(uint8_t v) {
+    return v < 6 ? v : (v == SYM_DEL ? NIB_DEL : NIB_NOCOV);
+}
+
+// split-half nibble write: buffer column p of a W-wide row
+inline void nib_write(uint8_t* row_bytes, int64_t W, int64_t p, uint8_t v) {
+    const int64_t h = W / 2;
+    if (p < h)
+        row_bytes[p] = (uint8_t)((row_bytes[p] & 0xF0) | v);
+    else
+        row_bytes[p - h] = (uint8_t)((row_bytes[p - h] & 0x0F) | (v << 4));
+}
+}  // namespace
+
+extern "C" {
+
+// Pass 1: per-read covered spans [r0, r1) within the region and insertion
+// counts/sizes.  Returns total insertion count.
+int64_t tile_spans(const int64_t* cig_ptrs, const int32_t* n_cigs,
+                   const int32_t* poss, int64_t R,
+                   int64_t region_start, int64_t region_len,
+                   int32_t* r0_out, int32_t* r1_out,
+                   int64_t* ins_seq_total) {
+    int64_t n_ins = 0, seq_total = 0;
+    for (int64_t i = 0; i < R; i++) {
+        const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
+        const int32_t nc = n_cigs[i];
+        int64_t rpos = (int64_t)poss[i] - region_start;
+        int64_t ref_len = 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            const int32_t ln = cig[2 * k + 1];
+            if (op == CMATCH || op == CEQUAL || op == CDIFF ||
+                op == CDEL || op == CREF_SKIP) {
+                ref_len += ln;
+            }
+            if (op == CINS) {
+                const int64_t at = rpos + ref_len;
+                if (at >= 0 && at < region_len) {
+                    n_ins += 1;
+                    seq_total += ln;
+                }
+            }
+        }
+        int64_t r0 = rpos > 0 ? rpos : 0;
+        int64_t r1 = rpos + ref_len < region_len ? rpos + ref_len
+                                                 : region_len;
+        if (r1 <= r0) { r0 = 0; r1 = 0; }
+        r0_out[i] = (int32_t)r0;
+        r1_out[i] = (int32_t)r1;
+    }
+    *ins_seq_total = seq_total;
+    return n_ins;
+}
+
+// Pass 2: fill the (R, W_pad/2) split-half nibble matrix (pre-filled with
+// 0xFF by the caller) and the insertion arrays.  Each row i is placed at
+// in-buffer offset r0[i] % block.  Returns the insertion count written.
+int64_t tile_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
+                  const int64_t* seq_ptrs, const int32_t* poss,
+                  int64_t R, int64_t region_start, int64_t region_len,
+                  int64_t W_pad, int64_t block,
+                  const int32_t* r0s,
+                  uint8_t* nib_out,
+                  int32_t* ins_rpos, int32_t* ins_read,
+                  int64_t* ins_off, int32_t* ins_len, uint8_t* ins_seq) {
+    int64_t ins_n = 0, ins_seq_p = 0;
+    const int64_t row_bytes_n = W_pad / 2;
+    for (int64_t i = 0; i < R; i++) {
+        const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
+        const uint8_t* seq = (const uint8_t*)(intptr_t)seq_ptrs[i];
+        const int32_t nc = n_cigs[i];
+        uint8_t* row = nib_out + i * row_bytes_n;
+        const int64_t r0 = r0s[i];
+        const int64_t off = (r0 % block) - r0;   // buffer p = col + off
+        int64_t rpos = (int64_t)poss[i] - region_start;
+        int64_t qpos = 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            const int64_t ln = cig[2 * k + 1];
+            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                int64_t a = r0 - rpos > 0 ? r0 - rpos : 0;
+                int64_t b = region_len - rpos < ln ? region_len - rpos : ln;
+                for (int64_t c = a; c < b; c++)
+                    nib_write(row, W_pad, rpos + c + off,
+                              sym2nib(seq[qpos + c]));
+                rpos += ln;
+                qpos += ln;
+            } else if (op == CINS) {
+                if (rpos >= 0 && rpos < region_len) {
+                    ins_rpos[ins_n] = (int32_t)rpos;
+                    ins_read[ins_n] = (int32_t)i;
+                    ins_off[ins_n] = ins_seq_p;
+                    ins_len[ins_n] = (int32_t)ln;
+                    std::memcpy(ins_seq + ins_seq_p, seq + qpos, ln);
+                    ins_seq_p += ln;
+                    ins_n += 1;
+                }
+                qpos += ln;
+            } else if (op == CSOFT_CLIP) {
+                qpos += ln;
+            } else if (op == CDEL || op == CREF_SKIP) {
+                int64_t a = r0 - rpos > 0 ? r0 - rpos : 0;
+                int64_t b = region_len - rpos < ln ? region_len - rpos : ln;
+                for (int64_t c = a; c < b; c++)
+                    nib_write(row, W_pad, rpos + c + off, NIB_DEL);
+                rpos += ln;
+            }
+        }
+    }
+    return ins_n;
+}
+
+}  // extern "C"

@@ -64,37 +64,10 @@ class RegionTile:
     q_starts: np.ndarray | None = None     # (R,) int32 start // BLOCK
     W_pad: int = 0
     ins_by_read: list = field(default_factory=list)
-    _rows: list | None = None        # unpacked rows (host-side site gather)
 
     @property
     def region_len(self) -> int:
         return len(self.ref_codes)
-
-    def row_symbol(self, read_idx: int, col: int) -> int:
-        """Pileup symbol of one read at one region column (NOCOV outside)."""
-        o = col - int(self.row_starts[read_idx])
-        row = self._rows[read_idx]
-        return int(row[o]) if 0 <= o < len(row) else NOCOV
-
-    def site_matrix(self, cols: np.ndarray) -> np.ndarray:
-        """(R, len(cols)) pileup symbols at the given columns (the dense
-        matrix's mat[:, cols] without materializing mat)."""
-        R = len(self._rows)
-        out = np.full((R, len(cols)), NOCOV, np.uint8)
-        for r in range(R):
-            o = np.asarray(cols, np.int64) - int(self.row_starts[r])
-            row = self._rows[r]
-            ok = (o >= 0) & (o < len(row))
-            if ok.any():
-                out[r, ok] = row[o[ok]]
-        return out
-
-    def valid_cols(self, idxs: list[int], cols) -> np.ndarray:
-        """(len(idxs), len(cols)) bool: does read cover column (span test)."""
-        c = np.atleast_1d(np.asarray(cols, np.int64))
-        st = self.row_starts[idxs][:, None]
-        ln = self.row_lens[idxs][:, None]
-        return (c[None, :] >= st) & (c[None, :] < st + ln)
 
 
 def build_tile(reads, ref_codes, region_start: int, chrom: str,
@@ -107,19 +80,26 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
     tile = RegionTile(chrom=chrom, start=region_start, ref_codes=ref_codes,
                       reads=reads, usable=usable)
     if usable:
-        from focalsv_tpu.assembly.consensus import compact_pileup_rows
+        from focalsv_tpu import native
         from focalsv_tpu.parallel.region_step import BLOCK, pack_row_tile
-        rows, starts, inss = compact_pileup_rows(
-            usable, list(range(len(usable))), region_start, len(ref_codes))
-        tile._rows = rows
-        tile.row_starts = starts
-        tile.row_lens = np.array([len(r) for r in rows], np.int32)
         # rows are pre-shifted by start % BLOCK so the device expansion is
-        # a BLOCK-chunk gather (region_step.pack_row_tile)
-        offs = (starts % BLOCK).astype(np.int32)
+        # a BLOCK-chunk gather (region_step.phase_consensus_rows_packed)
+        out = native.build_tile_rows(usable, region_start, len(ref_codes),
+                                     _wbucket, BLOCK)
+        if out is not None:
+            tile.nib, starts, tile.row_lens, inss, tile.W_pad = out
+            tile.row_starts = starts
+        else:   # no compiler: Python walk + pack
+            from focalsv_tpu.assembly.consensus import compact_pileup_rows
+            rows, starts, inss = compact_pileup_rows(
+                usable, list(range(len(usable))), region_start,
+                len(ref_codes))
+            tile.row_starts = starts
+            tile.row_lens = np.array([len(r) for r in rows], np.int32)
+            offs = (starts % BLOCK).astype(np.int32)
+            tile.W_pad = _wbucket(int((tile.row_lens + offs).max()))
+            tile.nib = pack_row_tile(rows, tile.W_pad, offsets=offs)
         tile.q_starts = (starts // BLOCK).astype(np.int32)
-        tile.W_pad = _wbucket(int((tile.row_lens + offs).max()))
-        tile.nib = pack_row_tile(rows, tile.W_pad, offsets=offs)
         tile.ins_by_read = [[] for _ in usable]
         for pos, mi, seq in inss:
             tile.ins_by_read[mi].append((pos, seq))
