@@ -111,6 +111,19 @@ def get_parse_lib():
                                   ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, i32p, u8p,
                                   i32p, i32p, i64p, i32p, u8p]
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.aln_geometry_batch.restype = None
+        lib.aln_geometry_batch.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
+                                           i64p, i64p, i64p, i64p, u8p, u8p]
+        lib.cigar_sigs_count.restype = ctypes.c_int64
+        lib.cigar_sigs_count.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int64]
+        lib.cigar_sigs_fill.restype = ctypes.c_int64
+        lib.cigar_sigs_fill.argtypes = [i64p, i32p, i32p, i32p, i32p, u8p,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64,
+                                        i8p, i64p, i64p, i32p, i64p, i64p,
+                                        i8p, i32p]
         _parse_lib = lib
     except OSError:
         _parse_lib = None
@@ -217,6 +230,66 @@ def build_tile_rows(recs, region_start: int, region_len: int,
              ins_seq[ins_off[k]: ins_off[k] + ins_len[k]])
             for k in range(got)]
     return nib, r0, lens, inss, W_pad
+
+
+def _rec_ptr_arrays(recs):
+    """(cig_ptrs, n_cigs, keep) pointer arrays for a record list."""
+    R = len(recs)
+    cig_ptrs = np.empty(R, np.int64)
+    n_cigs = np.empty(R, np.int32)
+    keep = []
+    for i, r in enumerate(recs):
+        cig = r.cigar
+        if not cig.flags.c_contiguous or cig.dtype != np.int32:
+            cig = np.ascontiguousarray(cig, np.int32)
+        keep.append(cig)
+        cig_ptrs[i] = cig.ctypes.data
+        n_cigs[i] = cig.shape[0]
+    return cig_ptrs, n_cigs, keep
+
+
+def read_sig_arrays(recs, cids, min_mapq: int, min_svlen: int):
+    """Native CIGAR-signature + geometry extraction over a record list.
+
+    Returns (sig dict of struct-of-arrays, geom dict of per-read arrays)
+    or None when the native library is unavailable.  Bit-parity with
+    signatures/contig.py::sigs_from_cigar / _aln_geometry."""
+    lib = get_parse_lib()
+    if lib is None or not recs:
+        return None
+    R = len(recs)
+    cig_ptrs, n_cigs, keep = _rec_ptr_arrays(recs)
+    poss = np.fromiter((r.pos for r in recs), np.int32, R)
+    mapqs = np.fromiter((r.mapq for r in recs), np.int32, R)
+    strands = np.fromiter((r.is_reverse for r in recs), np.uint8, R)
+    cids = np.asarray(cids, np.int32)
+    P32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    P64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    P8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))   # noqa: E731
+    PS8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))   # noqa: E731
+    geom = {k: np.empty(R, np.int64)
+            for k in ("ref_end", "read_start", "read_end", "read_len")}
+    geom["clip_head"] = np.empty(R, np.uint8)
+    geom["clip_tail"] = np.empty(R, np.uint8)
+    lib.aln_geometry_batch(P64(cig_ptrs), P32(n_cigs), P32(poss), R,
+                           P64(geom["ref_end"]), P64(geom["read_start"]),
+                           P64(geom["read_end"]), P64(geom["read_len"]),
+                           P8(geom["clip_head"]), P8(geom["clip_tail"]))
+    n = int(lib.cigar_sigs_count(P64(cig_ptrs), P32(n_cigs), P32(mapqs), R,
+                                 min_mapq, min_svlen))
+    sig = dict(svtype=np.empty(n, np.int8), pos=np.empty(n, np.int64),
+               svlen=np.empty(n, np.int64), contig=np.empty(n, np.int32),
+               rstart=np.empty(n, np.int64), rend=np.empty(n, np.int64),
+               strand=np.empty(n, np.int8), mapq=np.empty(n, np.int32))
+    got = int(lib.cigar_sigs_fill(
+        P64(cig_ptrs), P32(n_cigs), P32(poss), P32(mapqs), P32(cids),
+        P8(strands), R, min_mapq, min_svlen,
+        PS8(sig["svtype"]), P64(sig["pos"]), P64(sig["svlen"]),
+        P32(sig["contig"]), P64(sig["rstart"]), P64(sig["rend"]),
+        PS8(sig["strand"]), P32(sig["mapq"])))
+    if got != n:
+        return None
+    return sig, geom
 
 
 def get_lib():

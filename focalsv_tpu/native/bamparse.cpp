@@ -257,3 +257,130 @@ int64_t tile_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native read-signature CIGAR extraction + per-alignment geometry
+// (signatures/contig.py::sigs_from_cigar + _aln_geometry semantics,
+// batched over reads; feeds signatures/reads.py::extract_read_sigs).
+// ---------------------------------------------------------------------
+
+namespace {
+enum { CHARD_CLIP = 5, CPAD = 6 };
+inline bool consumes_ref(int32_t op) {
+    return op == CMATCH || op == CDEL || op == CREF_SKIP ||
+           op == CEQUAL || op == CDIFF;
+}
+inline bool consumes_query(int32_t op) {
+    return op == CMATCH || op == CINS || op == CSOFT_CLIP ||
+           op == CEQUAL || op == CDIFF;
+}
+inline bool full_query(int32_t op) {   // M/I/S/H/=/X (read-length ops)
+    return consumes_query(op) || op == CHARD_CLIP;
+}
+}  // namespace
+
+extern "C" {
+
+// Per-read geometry (one row per read): ref_end, read_start, read_end,
+// read_len, clip_head, clip_tail (ref_start = poss[i] is caller-known).
+void aln_geometry_batch(const int64_t* cig_ptrs, const int32_t* n_cigs,
+                        const int32_t* poss, int64_t R,
+                        int64_t* ref_end, int64_t* read_start,
+                        int64_t* read_end, int64_t* read_len,
+                        uint8_t* clip_head, uint8_t* clip_tail) {
+    for (int64_t i = 0; i < R; i++) {
+        const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
+        const int32_t nc = n_cigs[i];
+        int64_t rl = 0, ref_l = 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            const int64_t ln = cig[2 * k + 1];
+            if (full_query(op)) rl += ln;
+            if (consumes_ref(op)) ref_l += ln;
+        }
+        const bool ch = nc > 0 && (cig[0] == CSOFT_CLIP ||
+                                   cig[0] == CHARD_CLIP);
+        const bool ct = nc > 0 && (cig[2 * (nc - 1)] == CSOFT_CLIP ||
+                                   cig[2 * (nc - 1)] == CHARD_CLIP);
+        ref_end[i] = poss[i] + ref_l;
+        read_start[i] = ch ? cig[1] : 0;
+        read_end[i] = rl - (ct ? cig[2 * (nc - 1) + 1] : 0);
+        read_len[i] = rl;
+        clip_head[i] = ch;
+        clip_tail[i] = ct;
+    }
+}
+
+// CIGAR DEL/INS signatures >= min_svlen from reads passing the mapq gate.
+// Two-pass: count then fill.  Per read, DELs take priority over INSs on
+// equal pos (the Python stable-sort order); offsets are emitted in
+// full-contig space (leading hard clips included).
+int64_t cigar_sigs_count(const int64_t* cig_ptrs, const int32_t* n_cigs,
+                         const int32_t* mapqs, int64_t R,
+                         int64_t min_mapq, int64_t min_svlen) {
+    int64_t n = 0;
+    for (int64_t i = 0; i < R; i++) {
+        if (mapqs[i] < min_mapq) continue;
+        const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
+        const int32_t nc = n_cigs[i];
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            if ((op == CDEL || op == CINS) && cig[2 * k + 1] >= min_svlen)
+                n++;
+        }
+    }
+    return n;
+}
+
+int64_t cigar_sigs_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
+                        const int32_t* poss, const int32_t* mapqs,
+                        const int32_t* cids, const uint8_t* strands,
+                        int64_t R, int64_t min_mapq, int64_t min_svlen,
+                        int8_t* svtype, int64_t* pos, int64_t* svlen,
+                        int32_t* contig, int64_t* rstart, int64_t* rend,
+                        int8_t* strand_out, int32_t* mapq_out) {
+    int64_t n = 0;
+    for (int64_t i = 0; i < R; i++) {
+        if (mapqs[i] < min_mapq) continue;
+        const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
+        const int32_t nc = n_cigs[i];
+        if (nc == 0) continue;
+        const int64_t base = n;
+        int64_t ref_off = poss[i];
+        int64_t q_off = cig[0] == CHARD_CLIP ? cig[1] : 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            const int64_t ln = cig[2 * k + 1];
+            if ((op == CDEL || op == CINS) && ln >= min_svlen) {
+                // insert keeping per-read order sorted by pos with DEL
+                // priority on ties (stable-sort parity with Python)
+                int64_t j = n;
+                while (j > base &&
+                       (pos[j - 1] > ref_off ||
+                        (pos[j - 1] == ref_off && svtype[j - 1] == 1 &&
+                         op == CDEL))) {
+                    pos[j] = pos[j - 1]; svlen[j] = svlen[j - 1];
+                    svtype[j] = svtype[j - 1]; rstart[j] = rstart[j - 1];
+                    rend[j] = rend[j - 1];
+                    j--;
+                }
+                pos[j] = ref_off;
+                svlen[j] = ln;
+                svtype[j] = op == CDEL ? 0 : 1;
+                rstart[j] = q_off;
+                rend[j] = op == CDEL ? q_off + 1 : q_off + ln;
+                n++;
+            }
+            if (consumes_ref(op)) ref_off += ln;
+            if (consumes_query(op)) q_off += ln;
+        }
+        for (int64_t j = base; j < n; j++) {
+            contig[j] = cids[i];
+            strand_out[j] = (int8_t)strands[i];
+            mapq_out[j] = mapqs[i];
+        }
+    }
+    return n;
+}
+
+}  // extern "C"

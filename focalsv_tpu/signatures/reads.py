@@ -25,6 +25,8 @@ def extract_read_sigs(
     names: list[str] = []
     name_id: dict[str, int] = {}
     geoms: dict[str, list[dict]] = {}
+    recs = []
+    cids = []
     for rec in records:
         if rec.is_unmapped or rec.is_secondary:
             continue
@@ -32,14 +34,41 @@ def extract_read_sigs(
         if cid is None:
             cid = name_id[rec.name] = len(names)
             names.append(rec.name)
-        cig = rec.cigar.astype(np.int64)
-        if rec.mapq >= min_cigar_mapq and cig.shape[0]:
-            rows.extend(sigs_from_cigar(cig, rec.pos, cid,
-                                        int(rec.is_reverse), rec.mapq,
-                                        min_svlen))
-        if cig.shape[0]:
-            geoms.setdefault(rec.name, []).append(
-                _aln_geometry(cig, rec.pos, rec.mapq, int(rec.is_reverse), cid))
+        recs.append(rec)
+        cids.append(cid)
+    from focalsv_tpu import native
+    nat = native.read_sig_arrays(recs, cids, min_cigar_mapq, min_svlen)
+    if nat is not None:
+        sig, geom = nat
+        cig_sigs = Sigs(**sig, source=np.zeros(len(sig["pos"]), np.int8),
+                        names=names)
+        # geometry dicts only for split candidates (>= 2 alignments share
+        # the name); single-alignment reads can't form a pair below
+        cid_arr = np.asarray(cids, np.int64)
+        multi = np.bincount(cid_arr, minlength=len(names))[cid_arr] >= 2
+        for i, rec in enumerate(recs):
+            if multi[i] and rec.cigar.shape[0]:
+                geoms.setdefault(rec.name, []).append(dict(
+                    ref_start=rec.pos, ref_end=int(geom["ref_end"][i]),
+                    read_start=int(geom["read_start"][i]),
+                    read_end=int(geom["read_end"][i]),
+                    read_len=int(geom["read_len"][i]),
+                    clip_head=bool(geom["clip_head"][i]),
+                    clip_tail=bool(geom["clip_tail"][i]),
+                    strand=int(rec.is_reverse), mapq=rec.mapq,
+                    contig=cids[i]))
+    else:
+        cig_sigs = None
+        for rec, cid in zip(recs, cids):
+            cig = rec.cigar.astype(np.int64)
+            if rec.mapq >= min_cigar_mapq and cig.shape[0]:
+                rows.extend(sigs_from_cigar(cig, rec.pos, cid,
+                                            int(rec.is_reverse), rec.mapq,
+                                            min_svlen))
+            if cig.shape[0]:
+                geoms.setdefault(rec.name, []).append(
+                    _aln_geometry(cig, rec.pos, rec.mapq,
+                                  int(rec.is_reverse), cid))
     for name, gs in geoms.items():
         if len(gs) < 2:
             continue
@@ -69,4 +98,7 @@ def extract_read_sigs(
                 rows.append(dict(base, svtype=INS, pos=pos, svlen=svlen,
                                  rstart=g1["read_end"],
                                  rend=g2["read_start"]))
-    return Sigs.from_rows(rows, names).sort_by_pos()
+    split = Sigs.from_rows(rows, names)
+    if cig_sigs is not None:
+        return Sigs.concat([cig_sigs, split]).sort_by_pos()
+    return split.sort_by_pos()
