@@ -196,3 +196,29 @@ def test_eval_filter_dipcall_mode(tmp_path):
     _, inss = read_vcf(paths["INS"])
     assert [r.id for r in dels] == ["d"]   # 30 bp indel below the floor
     assert [r.id for r in inss] == ["i"]
+
+
+def test_clean_cli(tmp_path):
+    """clean.py analog: region intermediates removed, FASTAs kept
+    (6_evaluation/clean.py:11-35)."""
+    from focalsv_tpu.tools.clean import main
+
+    rdir = tmp_path / "chr21" / "regions" / "Region_chr21_S0_E9999"
+    rdir.mkdir(parents=True)
+    (rdir / "HP1.fa").write_text(">c\nACGT\n")
+    (rdir / "PS100_hp2.fa").write_text(">c\nACGT\n")
+    (rdir / "region_phased.bam").write_bytes(b"\x00")
+    (rdir / "region_phased.vcf").write_text("##fileformat=VCFv4.2\n")
+    other = tmp_path / "chr21" / "results"
+    other.mkdir()
+    (other / "final.vcf").write_text("x")   # outside Region_*: untouched
+
+    rc = main(["--out_dir", str(tmp_path), "--dry_run"])
+    assert rc == 0
+    assert (rdir / "region_phased.bam").exists()   # dry run deletes nothing
+
+    rc = main(["--out_dir", str(tmp_path)])
+    assert rc == 0
+    left = sorted(p.name for p in rdir.iterdir())
+    assert left == ["HP1.fa", "PS100_hp2.fa"]
+    assert (other / "final.vcf").exists()
