@@ -165,18 +165,6 @@ class TargetComplexResult:
         return sort_records(self.invs + self.dups + self.tras)
 
 
-def _cigar_tokens(cig: str):
-    """Yield (length, op-char) tokens of a CIGAR string (SA-tag entries)."""
-    n = ""
-    for ch in cig:
-        if ch.isdigit():
-            n += ch
-        else:
-            if n:
-                yield int(n), ch
-            n = ""
-
-
 def _merge_intervals(ivs: list[tuple[int, int]]) -> list[tuple[int, int]]:
     """Union of possibly-overlapping [lo, hi) intervals."""
     out: list[tuple[int, int]] = []
@@ -282,9 +270,9 @@ def call_complex_target(
                     if len(parts) < 4:
                         continue
                     mchrom, mpos = parts[0], int(parts[1]) - 1
-                    span = sum(
-                        int(n) for n, op in _cigar_tokens(parts[3])
-                        if op in "MDN=X") or 1
+                    cig = bamio.parse_cigar_string(parts[3])
+                    span = int(
+                        cig[bamio.CONSUMES_REF[cig[:, 0]], 1].sum()) or 1
                     mate_ivs.setdefault(mchrom, []).append(
                         (max(0, mpos - 2000), mpos + span + 2000))
         have = {(r.name, r.flag, r.pos)
