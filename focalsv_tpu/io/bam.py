@@ -526,9 +526,21 @@ class BamReader:
             data = bytes(buf)
             parsed = native.parse_records_batch(data)
             if parsed is None:
+                # distinguish "first record larger than the slab" from a
+                # corrupt length prefix: an invalid block_size would
+                # otherwise double the slab forever, buffering the whole
+                # remaining stream before silently dropping the tail
+                (sz,) = struct.unpack_from("<i", data, 0) \
+                    if len(data) >= 4 else (0,)
+                if sz < 32 or sz > (1 << 29):
+                    raise ValueError(
+                        f"corrupt BAM record length prefix: {sz}")
                 if exhausted:
                     return      # trailing partial record
                 slab = max(slab * 2, len(buf) * 2)   # record bigger than slab
+                if slab > (1 << 30):
+                    raise ValueError(
+                        "BAM record exceeds the 1 GiB slab cap")
                 continue        # need more bytes for the first record
             yield from records_from_batch(data, parsed)
             consumed = parsed[-1]

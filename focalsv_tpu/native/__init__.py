@@ -109,7 +109,7 @@ def get_parse_lib():
         lib.tile_fill.argtypes = [i64p, i32p, i64p, i32p,
                                   ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_int64,
-                                  ctypes.c_int64, i32p, u8p,
+                                  ctypes.c_int64, i32p, i32p, u8p,
                                   i32p, i32p, i64p, i32p, u8p]
         i8p = ctypes.POINTER(ctypes.c_int8)
         lib.aln_geometry_batch.restype = None
@@ -223,8 +223,8 @@ def build_tile_rows(recs, region_start: int, region_len: int,
     ins_seq = np.empty(int(seq_total.value), np.uint8)
     got = int(lib.tile_fill(
         P64(cig_ptrs), P32(n_cigs), P64(seq_ptrs), P32(poss),
-        R, region_start, region_len, W_pad, block, P32(r0), P8(nib),
-        P32(ins_rpos), P32(ins_read), P64(ins_off), P32(ins_len),
+        R, region_start, region_len, W_pad, block, P32(r0), P32(r1),
+        P8(nib), P32(ins_rpos), P32(ins_read), P64(ins_off), P32(ins_len),
         P8(ins_seq)))
     inss = [(int(ins_rpos[k]), int(ins_read[k]),
              ins_seq[ins_off[k]: ins_off[k] + ins_len[k]])

@@ -39,6 +39,19 @@ static const uint8_t NIB2CODE[16] = {
 
 extern "C" {
 
+namespace {
+// A record whose variable-length fields don't fit inside block_size (or
+// with a negative l_seq) is corrupt: both passes treat it as end-of-parse
+// so neither ever walks past rec_end / past the buffer.
+inline bool rec_fields_fit(const RecHead& h, int64_t sz) {
+    if (h.l_seq < 0) return false;
+    const int64_t need = (int64_t)sizeof(RecHead) - 4 + h.l_read_name +
+                         4LL * h.n_cigar + ((int64_t)h.l_seq + 1) / 2 +
+                         h.l_seq;
+    return need <= sz;
+}
+}  // namespace
+
 // Pass 1: count complete records and their cigar/seq totals.
 // Returns the number of complete records; *consumed gets the byte length
 // of the complete-record prefix (a trailing partial record is excluded).
@@ -53,6 +66,7 @@ int64_t bamparse_count(const uint8_t* buf, int64_t n,
             break;
         RecHead h;
         std::memcpy(&h, buf + p, sizeof(RecHead));
+        if (!rec_fields_fit(h, sz)) break;
         cig += h.n_cigar;
         seq += h.l_seq;
         nrec += 1;
@@ -84,6 +98,7 @@ int64_t bamparse_fill(
             break;
         RecHead h;
         std::memcpy(&h, buf + p, sizeof(RecHead));
+        if (!rec_fields_fit(h, sz)) break;
         const int64_t rec_end = p + 4 + sz;
         ref_id[nrec] = h.ref_id;
         pos[nrec] = h.pos;
@@ -144,7 +159,9 @@ const uint8_t NIB_DEL = 5, NIB_NOCOV = 15;
 const uint8_t SYM_DEL = 254;
 
 inline uint8_t sym2nib(uint8_t v) {
-    return v < 6 ? v : (v == SYM_DEL ? NIB_DEL : NIB_NOCOV);
+    // NIB_MAP parity: 0..4 map to themselves, DEL_SYM -> 5, everything
+    // else (incl. symbol 5 = enc.PAD) -> NOCOV
+    return v < 5 ? v : (v == SYM_DEL ? NIB_DEL : NIB_NOCOV);
 }
 
 // split-half nibble write: buffer column p of a W-wide row
@@ -170,7 +187,24 @@ int64_t tile_spans(const int64_t* cig_ptrs, const int32_t* n_cigs,
     for (int64_t i = 0; i < R; i++) {
         const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
         const int32_t nc = n_cigs[i];
-        int64_t rpos = (int64_t)poss[i] - region_start;
+        const int64_t rpos = (int64_t)poss[i] - region_start;
+        // span first: a read with an empty clipped span contributes NO
+        // insertion candidates (compact_pileup_rows `continue`s before
+        // its CIGAR walk for such reads -- parity requires the same here)
+        int64_t total_ref = 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            if (op == CMATCH || op == CEQUAL || op == CDIFF ||
+                op == CDEL || op == CREF_SKIP)
+                total_ref += cig[2 * k + 1];
+        }
+        int64_t r0 = rpos > 0 ? rpos : 0;
+        int64_t r1 = rpos + total_ref < region_len ? rpos + total_ref
+                                                   : region_len;
+        if (r1 <= r0) { r0 = 0; r1 = 0; }
+        r0_out[i] = (int32_t)r0;
+        r1_out[i] = (int32_t)r1;
+        if (r1 <= r0) continue;
         int64_t ref_len = 0;
         for (int32_t k = 0; k < nc; k++) {
             const int32_t op = cig[2 * k];
@@ -187,12 +221,6 @@ int64_t tile_spans(const int64_t* cig_ptrs, const int32_t* n_cigs,
                 }
             }
         }
-        int64_t r0 = rpos > 0 ? rpos : 0;
-        int64_t r1 = rpos + ref_len < region_len ? rpos + ref_len
-                                                 : region_len;
-        if (r1 <= r0) { r0 = 0; r1 = 0; }
-        r0_out[i] = (int32_t)r0;
-        r1_out[i] = (int32_t)r1;
     }
     *ins_seq_total = seq_total;
     return n_ins;
@@ -205,13 +233,14 @@ int64_t tile_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
                   const int64_t* seq_ptrs, const int32_t* poss,
                   int64_t R, int64_t region_start, int64_t region_len,
                   int64_t W_pad, int64_t block,
-                  const int32_t* r0s,
+                  const int32_t* r0s, const int32_t* r1s,
                   uint8_t* nib_out,
                   int32_t* ins_rpos, int32_t* ins_read,
                   int64_t* ins_off, int32_t* ins_len, uint8_t* ins_seq) {
     int64_t ins_n = 0, ins_seq_p = 0;
     const int64_t row_bytes_n = W_pad / 2;
     for (int64_t i = 0; i < R; i++) {
+        if (r1s[i] <= r0s[i]) continue;   // empty span: no row, no INS
         const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
         const uint8_t* seq = (const uint8_t*)(intptr_t)seq_ptrs[i];
         const int32_t nc = n_cigs[i];

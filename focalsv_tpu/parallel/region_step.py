@@ -67,10 +67,10 @@ def pack_nibbles(mat: np.ndarray, L_pad: int | None = None) -> np.ndarray:
     if L_pad is None:
         L_pad = L + (L % 2)
     assert L_pad % 2 == 0 and L_pad >= L
-    # NIB_MAP as arithmetic (symbols <6 map to themselves, DEL_SYM -> 5,
-    # rest -> 15): a 256-entry fancy index over the full tile ran ~4x
-    # slower than two vectorized selects
-    nib = np.where(mat < 6, mat,
+    # NIB_MAP as arithmetic (symbols <5 map to themselves, DEL_SYM -> 5,
+    # rest incl. enc.PAD=5 -> NOCOV): a 256-entry fancy index over the full
+    # tile ran ~4x slower than two vectorized selects
+    nib = np.where(mat < 5, mat,
                    np.where(mat == DEL_SYM, np.uint8(5), np.uint8(15)))
     if L_pad > L:
         nib = np.concatenate(
