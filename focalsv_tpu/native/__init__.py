@@ -111,6 +111,20 @@ def get_parse_lib():
                                   ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, i32p, i32p, u8p,
                                   i32p, i32p, i64p, i32p, u8p]
+        lib.tile_delta_count.restype = None
+        lib.tile_delta_count.argtypes = [i64p, i32p, i64p, u8p, i32p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_int64,
+                                         i32p, i32p,
+                                         i64p, i64p, i64p, i64p]
+        lib.tile_delta_fill.restype = None
+        lib.tile_delta_fill.argtypes = [i64p, i32p, i64p, u8p, i32p,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64,
+                                        i32p, i32p,
+                                        i32p, i32p, u8p,
+                                        i32p, i32p, i32p,
+                                        i32p, i32p, i64p, i32p, u8p]
         i8p = ctypes.POINTER(ctypes.c_int8)
         lib.aln_geometry_batch.restype = None
         lib.aln_geometry_batch.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
@@ -230,6 +244,72 @@ def build_tile_rows(recs, region_start: int, region_len: int,
              ins_seq[ins_off[k]: ins_off[k] + ins_len[k]])
             for k in range(got)]
     return nib, r0, lens, inss, W_pad
+
+
+def build_tile_delta(recs, ref_codes: np.ndarray, region_start: int,
+                     region_len: int):
+    """Native reference-delta tile extraction in one pass over the CIGARs.
+
+    Returns (r0 (R,) i32, r1 (R,) i32, subs (pos, read, sym), dels
+    (read, a, b), inss [(rpos, read_idx, seq u8)]), or None when the
+    native library is unavailable.  Span/deviation semantics bit-match
+    compact_pileup_rows (assembly/consensus.py) -- the device kernel
+    reconstructs identical column counts from these arrays."""
+    lib = get_parse_lib()
+    if lib is None or not recs:
+        return None
+    R = len(recs)
+    cig_ptrs = np.empty(R, np.int64)
+    seq_ptrs = np.empty(R, np.int64)
+    n_cigs = np.empty(R, np.int32)
+    poss = np.empty(R, np.int32)
+    keep = []
+    for i, r in enumerate(recs):
+        cig = r.cigar
+        if not cig.flags.c_contiguous or cig.dtype != np.int32:
+            cig = np.ascontiguousarray(cig, np.int32)
+        seq = r.seq
+        if not seq.flags.c_contiguous or seq.dtype != np.uint8:
+            seq = np.ascontiguousarray(seq, np.uint8)
+        keep.append((cig, seq))
+        cig_ptrs[i] = cig.ctypes.data
+        n_cigs[i] = cig.shape[0]
+        seq_ptrs[i] = seq.ctypes.data
+        poss[i] = r.pos
+    ref8 = np.ascontiguousarray(ref_codes, np.uint8)
+    P32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    P64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    P8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))   # noqa: E731
+    r0 = np.empty(R, np.int32)
+    r1 = np.empty(R, np.int32)
+    cnt = [ctypes.c_int64(0) for _ in range(4)]
+    lib.tile_delta_count(P64(cig_ptrs), P32(n_cigs), P64(seq_ptrs), P8(ref8),
+                         P32(poss), R, region_start, region_len,
+                         P32(r0), P32(r1), *[ctypes.byref(c) for c in cnt])
+    n_subs, n_dels, n_ins, seq_total = (int(c.value) for c in cnt)
+    sub_pos = np.empty(n_subs, np.int32)
+    sub_read = np.empty(n_subs, np.int32)
+    sub_sym = np.empty(n_subs, np.uint8)
+    del_read = np.empty(n_dels, np.int32)
+    del_a = np.empty(n_dels, np.int32)
+    del_b = np.empty(n_dels, np.int32)
+    ins_rpos = np.empty(n_ins, np.int32)
+    ins_read = np.empty(n_ins, np.int32)
+    ins_off = np.empty(n_ins, np.int64)
+    ins_len = np.empty(n_ins, np.int32)
+    ins_seq = np.empty(seq_total, np.uint8)
+    lib.tile_delta_fill(P64(cig_ptrs), P32(n_cigs), P64(seq_ptrs), P8(ref8),
+                        P32(poss), R, region_start, region_len,
+                        P32(r0), P32(r1),
+                        P32(sub_pos), P32(sub_read), P8(sub_sym),
+                        P32(del_read), P32(del_a), P32(del_b),
+                        P32(ins_rpos), P32(ins_read), P64(ins_off),
+                        P32(ins_len), P8(ins_seq))
+    inss = [(int(ins_rpos[k]), int(ins_read[k]),
+             ins_seq[ins_off[k]: ins_off[k] + ins_len[k]])
+            for k in range(n_ins)]
+    return (r0, r1, (sub_pos, sub_read, sub_sym),
+            (del_read, del_a, del_b), inss)
 
 
 def _rec_ptr_arrays(recs):

@@ -285,6 +285,139 @@ int64_t tile_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
     return ins_n;
 }
 
+// ---------------------------------------------------------------------
+// Reference-delta tile extraction: each read becomes its covered span
+// [r0, r1) plus sparse deviations from the region reference --
+// substitutions (col, sym) and deletion runs [a, b) (CIGAR D and N ops,
+// exactly the columns the dense tile writes NIB_DEL).  The device kernel
+// (parallel/region_step.py::_one_region_delta) reconstructs the exact
+// column counts, so h2d ships O(deviations) instead of O(span/2) bytes.
+// Span/clip semantics bit-match tile_spans/tile_fill (and thus
+// assembly/consensus.py::compact_pileup_rows).
+// ---------------------------------------------------------------------
+
+// Pass 1: spans + deviation/insertion counts.
+void tile_delta_count(const int64_t* cig_ptrs, const int32_t* n_cigs,
+                      const int64_t* seq_ptrs, const uint8_t* ref,
+                      const int32_t* poss, int64_t R,
+                      int64_t region_start, int64_t region_len,
+                      int32_t* r0_out, int32_t* r1_out,
+                      int64_t* n_subs, int64_t* n_dels, int64_t* n_ins,
+                      int64_t* ins_seq_total) {
+    int64_t subs = 0, dels = 0, ins = 0, seq_total = 0;
+    for (int64_t i = 0; i < R; i++) {
+        const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
+        const uint8_t* seq = (const uint8_t*)(intptr_t)seq_ptrs[i];
+        const int32_t nc = n_cigs[i];
+        const int64_t rpos0 = (int64_t)poss[i] - region_start;
+        int64_t total_ref = 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            if (consumes_ref(op)) total_ref += cig[2 * k + 1];
+        }
+        int64_t r0 = rpos0 > 0 ? rpos0 : 0;
+        int64_t r1 = rpos0 + total_ref < region_len ? rpos0 + total_ref
+                                                    : region_len;
+        if (r1 <= r0) { r0 = 0; r1 = 0; }
+        r0_out[i] = (int32_t)r0;
+        r1_out[i] = (int32_t)r1;
+        if (r1 <= r0) continue;
+        int64_t rpos = rpos0, qpos = 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            const int64_t ln = cig[2 * k + 1];
+            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                int64_t a = r0 - rpos > 0 ? r0 - rpos : 0;
+                int64_t b = region_len - rpos < ln ? region_len - rpos : ln;
+                for (int64_t c = a; c < b; c++)
+                    if (sym2nib(seq[qpos + c]) != ref[rpos + c]) subs++;
+                rpos += ln;
+                qpos += ln;
+            } else if (op == CINS) {
+                if (rpos >= 0 && rpos < region_len) {
+                    ins++;
+                    seq_total += ln;
+                }
+                qpos += ln;
+            } else if (op == CSOFT_CLIP) {
+                qpos += ln;
+            } else if (op == CDEL || op == CREF_SKIP) {
+                int64_t a = rpos > r0 ? rpos : r0;
+                int64_t b = rpos + ln < r1 ? rpos + ln : r1;
+                if (b > a) dels++;
+                rpos += ln;
+            }
+        }
+    }
+    *n_subs = subs;
+    *n_dels = dels;
+    *n_ins = ins;
+    *ins_seq_total = seq_total;
+}
+
+// Pass 2: fill the deviation arrays (sized from pass 1).
+void tile_delta_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
+                     const int64_t* seq_ptrs, const uint8_t* ref,
+                     const int32_t* poss, int64_t R,
+                     int64_t region_start, int64_t region_len,
+                     const int32_t* r0s, const int32_t* r1s,
+                     int32_t* sub_pos, int32_t* sub_read, uint8_t* sub_sym,
+                     int32_t* del_read, int32_t* del_a, int32_t* del_b,
+                     int32_t* ins_rpos, int32_t* ins_read,
+                     int64_t* ins_off, int32_t* ins_len, uint8_t* ins_seq) {
+    int64_t ns = 0, nd = 0, ni = 0, ins_seq_p = 0;
+    for (int64_t i = 0; i < R; i++) {
+        if (r1s[i] <= r0s[i]) continue;
+        const int32_t* cig = (const int32_t*)(intptr_t)cig_ptrs[i];
+        const uint8_t* seq = (const uint8_t*)(intptr_t)seq_ptrs[i];
+        const int32_t nc = n_cigs[i];
+        const int64_t r0 = r0s[i], r1 = r1s[i];
+        int64_t rpos = (int64_t)poss[i] - region_start, qpos = 0;
+        for (int32_t k = 0; k < nc; k++) {
+            const int32_t op = cig[2 * k];
+            const int64_t ln = cig[2 * k + 1];
+            if (op == CMATCH || op == CEQUAL || op == CDIFF) {
+                int64_t a = r0 - rpos > 0 ? r0 - rpos : 0;
+                int64_t b = region_len - rpos < ln ? region_len - rpos : ln;
+                for (int64_t c = a; c < b; c++) {
+                    const uint8_t s = sym2nib(seq[qpos + c]);
+                    if (s != ref[rpos + c]) {
+                        sub_pos[ns] = (int32_t)(rpos + c);
+                        sub_read[ns] = (int32_t)i;
+                        sub_sym[ns] = s;
+                        ns++;
+                    }
+                }
+                rpos += ln;
+                qpos += ln;
+            } else if (op == CINS) {
+                if (rpos >= 0 && rpos < region_len) {
+                    ins_rpos[ni] = (int32_t)rpos;
+                    ins_read[ni] = (int32_t)i;
+                    ins_off[ni] = ins_seq_p;
+                    ins_len[ni] = (int32_t)ln;
+                    std::memcpy(ins_seq + ins_seq_p, seq + qpos, ln);
+                    ins_seq_p += ln;
+                    ni++;
+                }
+                qpos += ln;
+            } else if (op == CSOFT_CLIP) {
+                qpos += ln;
+            } else if (op == CDEL || op == CREF_SKIP) {
+                int64_t a = rpos > r0 ? rpos : r0;
+                int64_t b = rpos + ln < r1 ? rpos + ln : r1;
+                if (b > a) {
+                    del_read[nd] = (int32_t)i;
+                    del_a[nd] = (int32_t)a;
+                    del_b[nd] = (int32_t)b;
+                    nd++;
+                }
+                rpos += ln;
+            }
+        }
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

@@ -368,6 +368,279 @@ def phase_consensus_batch_packed(
     return out.reshape(G, -1)
 
 
+def _one_region_delta(
+    ref, starts, ends, rv, sub_pos, sub_read, sub_sym,
+    del_read, del_a, del_b, *,
+    max_sites, mec_iters, min_site_depth, min_minor_count,
+    lo_num, lo_den, hi_num, hi_den,
+    purify_window, purify_min_pairs, purify_num, purify_den,
+):
+    """One region's phasing + consensus from REFERENCE-DELTA encoded reads.
+
+    The pileup never exists: each read is its covered span [start, end)
+    plus sparse deviations from the reference -- substitutions (col, sym)
+    and deletion runs [a, b).  Column symbol counts are reconstructed
+    exactly (integer event cumsums + scatter-adds), so every downstream
+    quantity (het band, site selection, purify, MEC, consensus vote) is
+    bit-identical to the dense-tile kernel `_one_region` -- the host ships
+    ~R*deviations bytes instead of R*span/2, and the kernel does
+    O(R*S + D + L) work instead of O(R*L).
+
+    Shapes: ref (L,) u8; starts/ends (R,) i32 region columns; rv (R,) bool;
+    sub_* (Dsub,) with read < 0 on padding; del_* (Ddel,) likewise.
+    Returns the `_one_region` output tuple.
+    """
+    L = ref.shape[0]
+    R = starts.shape[0]
+    S = max_sites
+    i32 = jnp.int32
+
+    rw = rv.astype(i32)
+    vstart = jnp.where(rv, starts, 0)
+    vend = jnp.where(rv, ends, 0)
+    cov = jnp.cumsum(jnp.zeros(L + 1, i32).at[vstart].add(rw)
+                     .at[vend].add(-rw))[:L]
+
+    wd = (del_read >= 0)
+    wdi = wd.astype(i32)
+    da = jnp.where(wd, del_a, 0)
+    db = jnp.where(wd, del_b, 0)
+    delcov = jnp.cumsum(jnp.zeros(L + 1, i32).at[da].add(wdi)
+                        .at[db].add(-wdi))[:L]
+
+    ws = (sub_read >= 0)
+    wsi = ws.astype(i32)
+    sp = jnp.where(ws, sub_pos, L)          # padding -> dump column L
+    nsubs = jnp.zeros(L + 1, i32).at[sp].add(wsi)[:L]
+    # per-symbol substitution counts incl. N (col 4): alleles use :4,
+    # the consensus vote uses all 5
+    subcnt = jnp.zeros((L + 1, 5), i32).at[
+        sp, jnp.clip(sub_sym, 0, 4).astype(i32)].add(wsi)[:L]
+
+    base = cov - delcov - nsubs             # reads matching ref per column
+    ref_i = ref.astype(i32)
+    oh4 = ref_i[:, None] == jnp.arange(4, dtype=i32)[None, :]   # (L, 4)
+    counts = jnp.concatenate(
+        [base[:, None] * oh4 + subcnt[:, :4], delcov[:, None]], axis=1)
+
+    # --- het-site detection + strip selection (bitwise as _one_region) --
+    allele_codes = (0, 1, 2, 3, DEL_SYM)
+    depth = counts.sum(1)
+    a0 = jnp.argmax(counts, axis=1)
+    onehot0 = jax.nn.one_hot(a0, len(allele_codes), dtype=jnp.bool_)
+    masked = jnp.where(onehot0, -1, counts)
+    a1 = jnp.argmax(masked, axis=1)
+    top1 = jnp.max(masked, axis=1)
+    is_het = (
+        (depth >= max(min_site_depth, 1))
+        & (top1 * lo_den >= depth * lo_num)
+        & (top1 * hi_den <= depth * hi_num)
+        & (top1 >= min_minor_count)
+    )
+    n0 = jnp.max(counts, axis=1)
+    bal = jnp.where(
+        is_het,
+        top1.astype(jnp.float32) / jnp.maximum(n0 + top1, 1).astype(jnp.float32),
+        jnp.float32(-1.0))
+    strip = -(-L // S)
+    pad = S * strip - L
+    bal_p = jnp.concatenate([bal, jnp.full(pad, -1.0, jnp.float32)]) \
+        if pad else bal
+    strips = bal_p.reshape(S, strip)
+    off = jnp.argmax(strips, axis=1)
+    val = jnp.max(strips, axis=1)
+    site_pos = (jnp.arange(S, dtype=i32) * strip + off.astype(i32))
+    sel = val > 0
+    slot0 = jnp.arange(S, dtype=i32)
+    order0 = jnp.argsort(jnp.where(sel, slot0, S + slot0))
+    site_pos = jnp.take(site_pos, order0)
+    sel = jnp.take(sel, order0)
+    site_pos = jnp.where(sel, site_pos, 0)
+    code_map = jnp.asarray(np.array(allele_codes, np.uint8))
+    sa0 = code_map[a0[site_pos]]
+    sa1 = code_map[a1[site_pos]]
+
+    # --- allele matrix from the deltas (dense: sub = m[:, site_pos]) ----
+    # per-site read symbol = ref unless a substitution lands on the site
+    # (col->slot inverse map + one scatter) or a deletion run covers it
+    col2slot = jnp.full(L + 1, S, i32).at[
+        jnp.where(sel, site_pos, L)].set(jnp.arange(S, dtype=i32))
+    base_sym = ref[site_pos]                                     # (S,)
+    a_sym = jnp.broadcast_to(base_sym[None, :], (R, S))
+    a_sym = jnp.concatenate(
+        [a_sym, jnp.full((R, 1), NOCOV, jnp.uint8)], axis=1)     # dump col
+    a_sym = jnp.concatenate(
+        [a_sym, jnp.full((1, S + 1), NOCOV, jnp.uint8)], axis=0)  # dump row
+    sub_r = jnp.where(ws, sub_read, R).astype(i32)
+    sub_slot = jnp.where(ws, col2slot[sp], S)
+    a_sym = a_sym.at[sub_r, sub_slot].set(sub_sym)
+    # deletion-run coverage of sites: (Ddel, S) membership, scatter-add
+    # into reads (duplicate rows accumulate)
+    inside = ((site_pos[None, :] >= da[:, None])
+              & (site_pos[None, :] < db[:, None])
+              & wd[:, None] & sel[None, :]).astype(i32)
+    del_r = jnp.where(wd, del_read, R).astype(i32)
+    a_del = jnp.zeros((R + 1, S), i32).at[del_r].add(inside)[:R]
+    span_cov = ((site_pos[None, :] >= starts[:, None])
+                & (site_pos[None, :] < ends[:, None]) & rv[:, None])
+    sub = jnp.where(a_del > 0, jnp.uint8(DEL_SYM), a_sym[:R, :S])
+    sub = jnp.where(span_cov, sub, jnp.uint8(NOCOV))
+    A = jnp.where(sub == sa0[None, :], 0,
+                  jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)
+    A = jnp.where(sel[None, :] & rv[:, None], A, jnp.int8(-1))
+
+    # --- purification (identical to _one_region) -----------------------
+    covA = A >= 0
+    passed = jnp.zeros(S, bool)
+    for d in range(1, min(purify_window, S - 1) + 1):
+        both = covA[:, :-d] & covA[:, d:]
+        n = both.sum(0, dtype=i32)
+        same = ((A[:, :-d] == A[:, d:]) & both).sum(0, dtype=i32)
+        dev = jnp.abs(2 * same - n)
+        ok = ((n >= purify_min_pairs)
+              & (dev * purify_den >= n * purify_num)
+              & (dev * dev >= 9 * n))
+        passed = passed | jnp.pad(ok, (0, d)) | jnp.pad(ok, (d, 0))
+    n_het = sel.sum()
+    passed = jnp.where(n_het >= 2, passed, sel)
+    new_valid = sel & passed
+    slot = jnp.arange(S, dtype=i32)
+    order2 = jnp.argsort(jnp.where(new_valid, slot, S + slot))
+    A = jnp.take(A, order2, axis=1)
+    site_pos = jnp.take(site_pos, order2)
+    new_valid = jnp.take(new_valid, order2)
+    A = jnp.where(new_valid[None, :], A, jnp.int8(-1))
+    n_sites = new_valid.sum().astype(i32)
+
+    # --- MEC phasing (identical) ---------------------------------------
+    covA = A >= 0
+    both = covA[:, :-1] & covA[:, 1:]
+    nb = both.sum(0, dtype=i32)
+    same = ((A[:, :-1] == A[:, 1:]) & both).sum(0, dtype=i32)
+    flip = ((nb > 0) & (same < nb - same)).astype(i32)
+    h = (jnp.concatenate([jnp.zeros(1, i32), jnp.cumsum(flip)])
+         % 2).astype(jnp.int8)
+
+    def it(_, h):
+        agree = ((A == h[None, :]) & covA).sum(1, dtype=i32)
+        disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=i32)
+        assign = jnp.where(agree >= disagree, 0, 1)
+        hap1 = (assign == 0)[:, None] & covA
+        hap2 = (assign == 1)[:, None] & covA
+        v1 = ((A == 1) & hap1).sum(0, dtype=i32) + \
+             ((A == 0) & hap2).sum(0, dtype=i32)
+        v0 = ((A == 0) & hap1).sum(0, dtype=i32) + \
+             ((A == 1) & hap2).sum(0, dtype=i32)
+        return jnp.where(v1 > v0, 1, 0).astype(jnp.int8)
+
+    h = jax.lax.fori_loop(0, mec_iters, it, h)
+    agree = ((A == h[None, :]) & covA).sum(1, dtype=i32)
+    disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=i32)
+    informative = (agree + disagree) > 0
+    hp = jnp.where(rv & informative,
+                   jnp.where(agree >= disagree, 1, 2), 0).astype(jnp.int8)
+
+    # --- per-site summaries (identical) --------------------------------
+    sa0 = code_map[a0[site_pos]]
+    sa1 = code_map[a1[site_pos]]
+    hap1 = (hp == 1)[:, None]
+    hap2 = (hp == 2)[:, None]
+    v1 = ((A == 1) & hap1).sum(0, dtype=i32) + \
+         ((A == 0) & hap2).sum(0, dtype=i32)
+    v0 = ((A == 0) & hap1).sum(0, dtype=i32) + \
+         ((A == 1) & hap2).sum(0, dtype=i32)
+    site_h = (v1 > v0).astype(jnp.uint8)
+    conn = jnp.pad((covA[:, :-1] & covA[:, 1:]).any(0), (0, 1)
+                   ).astype(jnp.uint8)
+
+    # --- consensus votes per haplotype from the deltas -----------------
+    # (dense `vote` reconstruction: per-column 6-symbol counts over the
+    # use-mask; ref-matching reads contribute to the ref symbol, subs to
+    # their own symbol incl. N, deletion runs to the DEL column)
+    oh5 = ref_i[:, None] == jnp.arange(5, dtype=i32)[None, :]    # (L, 5)
+
+    def vote(mask):
+        use = (mask | (hp == 0)) & rv
+        uw = use.astype(i32)
+        cov_u = jnp.cumsum(jnp.zeros(L + 1, i32).at[vstart].add(uw)
+                           .at[vend].add(-uw))[:L]
+        use1 = jnp.concatenate([use, jnp.zeros(1, bool)])
+        wdu = (wd & use1[del_r]).astype(i32)
+        del_u = jnp.cumsum(jnp.zeros(L + 1, i32).at[da].add(wdu)
+                           .at[db].add(-wdu))[:L]
+        wsu = (ws & use1[sub_r]).astype(i32)
+        nsubs_u = jnp.zeros(L + 1, i32).at[sp].add(wsu)[:L]
+        subcnt_u = jnp.zeros((L + 1, 5), i32).at[
+            sp, jnp.clip(sub_sym, 0, 4).astype(i32)].add(wsu)[:L]
+        base_u = cov_u - del_u - nsubs_u
+        c = jnp.concatenate(
+            [base_u[:, None] * oh5 + subcnt_u, del_u[:, None]], axis=1)
+        return jnp.argmax(c, axis=1).astype(jnp.uint8), c.sum(1) > 0
+
+    s1, c1 = vote(hp == 1)
+    s2, c2 = vote(hp == 2)
+    return (site_pos, n_sites, A, hp,
+            jnp.stack([s1, s2]), jnp.stack([c1, c2]),
+            sa0, sa1, site_h, conn)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES + ("L",))
+def phase_consensus_delta(
+    ref: jax.Array,          # (G, L) uint8 region reference codes
+    starts: jax.Array,       # (G, R) int32 covered-span starts
+    ends: jax.Array,         # (G, R) int32 covered-span ends
+    read_valid: jax.Array,   # (G, R) bool
+    sub_pos: jax.Array,      # (G, Dsub) int32
+    sub_read: jax.Array,     # (G, Dsub) int32 (< 0 on padding)
+    sub_sym: jax.Array,      # (G, Dsub) uint8
+    del_read: jax.Array,     # (G, Ddel) int32 (< 0 on padding)
+    del_a: jax.Array,        # (G, Ddel) int32
+    del_b: jax.Array,        # (G, Ddel) int32
+    *,
+    L: int,
+    max_sites: int = 512,
+    mec_iters: int = 30,
+    min_site_depth: int = 4,
+    min_minor_count: int = 2,
+    lo_num: int = 1, lo_den: int = 4,
+    hi_num: int = 3, hi_den: int = 4,
+    purify_window: int = 4,
+    purify_min_pairs: int = 4,
+    purify_num: int = 1, purify_den: int = 2,
+):
+    """Production entry for DELTA-encoded region tiles: ONE flat uint8
+    buffer per region out (flat_layout), bit-identical to the dense-tile
+    kernels.  h2d is O(reads + deviations) instead of O(reads * span)."""
+    kw = dict(
+        max_sites=max_sites, mec_iters=mec_iters,
+        min_site_depth=min_site_depth, min_minor_count=min_minor_count,
+        lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
+        purify_window=purify_window, purify_min_pairs=purify_min_pairs,
+        purify_num=purify_num, purify_den=purify_den)
+
+    def one(*args):
+        return jnp.concatenate(_flat_parts(_one_region_delta(*args, **kw), L))
+
+    return jax.vmap(one)(ref, starts, ends, read_valid, sub_pos, sub_read,
+                         sub_sym, del_read, del_a, del_b)
+
+
+def sharded_phase_consensus_delta(args: tuple, mesh, *, L, **kw):
+    """phase_consensus_delta sharded over the mesh's regions axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from focalsv_tpu.parallel.mesh import DATA_AXIS
+    spec = P(DATA_AXIS)
+    fn = jax.shard_map(
+        lambda *a: phase_consensus_delta(*a, L=L, **kw),
+        mesh=mesh,
+        in_specs=(spec,) * len(args),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(*args)
+
+
 # Row starts are quantized to BLOCK columns: the host pre-shifts each row
 # by start % BLOCK inside its buffer, and the device expansion gathers
 # BLOCK-contiguous chunks instead of single elements (a per-element

@@ -47,27 +47,65 @@ logger = get_logger("device_exec")
 class RegionTile:
     """Host-side staging of one region for the device step.
 
-    Pileup content lives in COMPACT per-read rows (each read covers one
-    contiguous column span), packed as 4-bit nibbles at the row-width bucket;
-    the device expands them into the dense (R, L) tile with one gather
-    (region_step.phase_consensus_rows_packed).  The host never builds the
-    dense matrix."""
+    Two wire encodings, chosen per tile by payload size:
+
+    - "delta" (the default for accurate reads): each read is its covered
+      span [start, end) plus sparse deviations from the region reference
+      (substitutions + deletion runs); the device reconstructs the exact
+      column counts (region_step.phase_consensus_delta).  h2d is
+      O(reads + deviations).
+    - "dense" (high-noise fallback): compact per-read rows packed as 4-bit
+      nibbles at the row-width bucket; the device expands them with one
+      BLOCK gather (region_step.phase_consensus_rows_packed).  Used when
+      the deviation payload would exceed the packed-row payload (CLR/ONT
+      error rates)."""
 
     chrom: str
     start: int
     ref_codes: np.ndarray
     reads: list                      # raw fetched reads (FP-filter evidence)
     usable: list                     # phasing-eligible reads
+    encoding: str = "dense"          # "delta" | "dense"
     nib: np.ndarray | None = None    # (R, W_pad/2) packed compact rows
     row_starts: np.ndarray | None = None   # (R,) int32 region column of col 0
     row_lens: np.ndarray | None = None     # (R,) int32 covered span length
     q_starts: np.ndarray | None = None     # (R,) int32 start // BLOCK
     W_pad: int = 0
+    subs: tuple | None = None        # (pos, read, sym) int32/int32/uint8
+    dels: tuple | None = None        # (read, a, b) int32
     ins_by_read: list = field(default_factory=list)
 
     @property
     def region_len(self) -> int:
         return len(self.ref_codes)
+
+
+def _delta_from_rows(rows, starts, ref_codes) -> tuple[tuple, tuple]:
+    """Python fallback: (subs, dels) deviation arrays from compact rows
+    (bit-parity with native tile_delta_fill)."""
+    sp, sr, ss = [], [], []
+    dr, da, db = [], [], []
+    for i, (row, s0) in enumerate(zip(rows, starts)):
+        s0 = int(s0)
+        refw = ref_codes[s0 : s0 + len(row)]
+        isdel = row == 254            # consensus.DEL_SYM
+        sub_at = np.nonzero((row != refw) & ~isdel)[0]
+        if sub_at.size:
+            sp.append((s0 + sub_at).astype(np.int32))
+            sr.append(np.full(sub_at.size, i, np.int32))
+            ss.append(row[sub_at])
+        d = np.diff(np.concatenate(
+            [[0], isdel.astype(np.int8), [0]]))
+        for a, b in zip(np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]):
+            dr.append(i)
+            da.append(s0 + int(a))
+            db.append(s0 + int(b))
+    cat = lambda xs, dt: (np.concatenate(xs) if xs       # noqa: E731
+                          else np.zeros(0, dt))
+    subs = (cat(sp, np.int32), cat(sr, np.int32), cat(ss, np.uint8))
+    dels = (np.array(dr, np.int32), np.array(da, np.int32),
+            np.array(db, np.int32))
+    return subs, dels
 
 
 def build_tile(reads, ref_codes, region_start: int, chrom: str,
@@ -79,30 +117,52 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
               and not r.is_supplementary and r.mapq >= cfg.phasing.min_mapq]
     tile = RegionTile(chrom=chrom, start=region_start, ref_codes=ref_codes,
                       reads=reads, usable=usable)
-    if usable:
-        from focalsv_tpu import native
-        from focalsv_tpu.parallel.region_step import BLOCK, pack_row_tile
-        # rows are pre-shifted by start % BLOCK so the device expansion is
-        # a BLOCK-chunk gather (region_step.phase_consensus_rows_packed)
-        out = native.build_tile_rows(usable, region_start, len(ref_codes),
-                                     _wbucket, BLOCK)
-        if out is not None:
-            tile.nib, starts, tile.row_lens, inss, tile.W_pad = out
-            tile.row_starts = starts
-        else:   # no compiler: Python walk + pack
-            from focalsv_tpu.assembly.consensus import compact_pileup_rows
-            rows, starts, inss = compact_pileup_rows(
-                usable, list(range(len(usable))), region_start,
-                len(ref_codes))
-            tile.row_starts = starts
-            tile.row_lens = np.array([len(r) for r in rows], np.int32)
-            offs = (starts % BLOCK).astype(np.int32)
-            tile.W_pad = _wbucket(int((tile.row_lens + offs).max()))
-            tile.nib = pack_row_tile(rows, tile.W_pad, offsets=offs)
-        tile.q_starts = (starts // BLOCK).astype(np.int32)
-        tile.ins_by_read = [[] for _ in usable]
-        for pos, mi, seq in inss:
-            tile.ins_by_read[mi].append((pos, seq))
+    if not usable:
+        return tile
+    from focalsv_tpu import native
+    from focalsv_tpu.parallel.region_step import BLOCK, pack_row_tile
+    R = len(usable)
+    L = len(ref_codes)
+    out = native.build_tile_delta(usable, ref_codes, region_start, L)
+    if out is not None:
+        r0, r1, subs, dels, inss = out
+        tile.row_starts = r0
+        tile.row_lens = r1 - r0
+        tile.subs, tile.dels = subs, dels
+    else:   # no compiler: Python walk
+        from focalsv_tpu.assembly.consensus import compact_pileup_rows
+        rows, starts, inss = compact_pileup_rows(
+            usable, list(range(R)), region_start, L)
+        tile.row_starts = starts.astype(np.int32)
+        tile.row_lens = np.array([len(r) for r in rows], np.int32)
+        tile.subs, tile.dels = _delta_from_rows(rows, tile.row_starts,
+                                                ref_codes)
+    tile.ins_by_read = [[] for _ in usable]
+    for pos, mi, seq in inss:
+        tile.ins_by_read[mi].append((pos, seq))
+    # encoding choice by wire size: deviations (9B/sub + 12B/del run)
+    # vs packed rows (W_pad/2 per read).  Accurate reads compress ~10-40x
+    # as deltas; past ~5% deviation density the dense rows win.
+    offs = (tile.row_starts % BLOCK).astype(np.int32)
+    W_pad = _wbucket(int((tile.row_lens + offs).max()) if R else 1)
+    delta_bytes = 9 * tile.subs[0].size + 12 * tile.dels[0].size + 8 * R
+    if delta_bytes <= R * (W_pad // 2):
+        tile.encoding = "delta"
+        return tile
+    tile.encoding = "dense"
+    # rows are pre-shifted by start % BLOCK so the device expansion is
+    # a BLOCK-chunk gather (region_step.phase_consensus_rows_packed)
+    out = native.build_tile_rows(usable, region_start, L, _wbucket, BLOCK)
+    if out is not None:
+        tile.nib, starts, tile.row_lens, _inss, tile.W_pad = out
+        tile.row_starts = starts
+    else:
+        from focalsv_tpu.assembly.consensus import compact_pileup_rows
+        rows, starts, _inss = compact_pileup_rows(
+            usable, list(range(R)), region_start, L)
+        tile.W_pad = W_pad
+        tile.nib = pack_row_tile(rows, W_pad, offsets=offs)
+    tile.q_starts = (tile.row_starts // BLOCK).astype(np.int32)
     return tile
 
 
@@ -133,9 +193,9 @@ def _len_bucket(n: int, lo: int = 4096) -> int:
     return b
 
 
-def _bucket_key(tile: RegionTile,
-                cfg: PipelineConfig) -> tuple[int, int, int] | None:
-    """(R_pad, L_pad, W_pad) bucket, or None for the host path."""
+def _bucket_key(tile: RegionTile, cfg: PipelineConfig) -> tuple | None:
+    """("delta", R_pad, L_pad, Dsub_pad, Ddel_pad) or
+    ("dense", R_pad, L_pad, W_pad) bucket, or None for the host path."""
     ex = cfg.execution
     R = len(tile.usable)
     L = tile.region_len
@@ -144,20 +204,32 @@ def _bucket_key(tile: RegionTile,
     if cfg.phasing.use_pairhmm:
         # pair-HMM realignment of the allele matrix is a host-path feature
         return None
-    return _pow2(R, 8), _len_bucket(L), tile.W_pad
+    if tile.encoding == "delta":
+        return ("delta", _pow2(R, 8), _len_bucket(L),
+                _pow2(max(tile.subs[0].size, 1), 2048),
+                _pow2(max(tile.dels[0].size, 1), 256))
+    return ("dense", _pow2(R, 8), _len_bucket(L), tile.W_pad)
 
 
-def _batch_size(key: tuple[int, int, int], cfg: PipelineConfig,
-                n_devices: int) -> int:
+def _batch_size(key: tuple, cfg: PipelineConfig, n_devices: int) -> int:
     # budget on the expanded (R, L) working set -- the HBM bound, not the
-    # (much smaller) R*W/2 transfer
+    # (much smaller) transfer
     ex = cfg.execution
     g = max(1, min(ex.max_regions_per_batch,
-                   int(ex.batch_bytes // (key[0] * key[1]))))
+                   int(ex.batch_bytes // (key[1] * key[2]))))
     if n_devices > 1:
         # shard_map needs the batch divisible by the mesh
         g = max(n_devices, (g // n_devices) * n_devices)
     return g
+
+
+def _h2d_bytes(key: tuple, G: int) -> int:
+    """Wire bytes of one packed chunk (stage-stats accounting)."""
+    if key[0] == "delta":
+        _, Rp, Lp, Ds, Dd = key
+        return G * (Lp + Rp * 9 + Ds * 9 + Dd * 12)
+    _, Rp, _Lp, Wp = key
+    return G * Rp * (Wp // 2) + G * Rp * 5
 
 
 _cache_ready = False
@@ -200,32 +272,65 @@ def _ensure_compile_cache():
 
 
 def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
-                  key: tuple[int, int, int], G: int, cfg: PipelineConfig,
-                  mesh):
+                  key: tuple, G: int, cfg: PipelineConfig, mesh):
     """Pack one chunk of tiles and launch the device step (async); the
     result's device->host copy is started immediately so transfers overlap
     compute and each other."""
-    from focalsv_tpu.parallel.region_step import (
-        phase_consensus_kwargs, phase_consensus_rows_packed,
-        sharded_phase_consensus_rows_packed)
-    Rp, Lp, Wp = key
-    kw = phase_consensus_kwargs(cfg.phasing)
-    # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
-    packed = np.full((G, Rp, Wp // 2), 0xFF, np.uint8)
-    starts = np.zeros((G, Rp), np.int32)
-    rv = np.zeros((G, Rp), bool)
-    for g, ti in enumerate(chunk):
-        t = tiles[ti]
-        R = t.nib.shape[0]
-        packed[g, :R] = t.nib
-        starts[g, :R] = t.q_starts
-        rv[g, :R] = True
-    if mesh is not None and mesh.size > 1:
-        res = sharded_phase_consensus_rows_packed(packed, starts, rv, mesh,
-                                                  L=Lp, W=Wp, **kw)
+    from focalsv_tpu.parallel import region_step as rs
+    kw = rs.phase_consensus_kwargs(cfg.phasing)
+    if key[0] == "delta":
+        _, Rp, Lp, Ds, Dd = key
+        ref = np.zeros((G, Lp), np.uint8)
+        starts = np.zeros((G, Rp), np.int32)
+        ends = np.zeros((G, Rp), np.int32)
+        rv = np.zeros((G, Rp), bool)
+        sub_pos = np.zeros((G, Ds), np.int32)
+        sub_read = np.full((G, Ds), -1, np.int32)
+        sub_sym = np.zeros((G, Ds), np.uint8)
+        del_read = np.full((G, Dd), -1, np.int32)
+        del_a = np.zeros((G, Dd), np.int32)
+        del_b = np.zeros((G, Dd), np.int32)
+        for g, ti in enumerate(chunk):
+            t = tiles[ti]
+            R = t.row_starts.shape[0]
+            L = t.region_len
+            ref[g, :L] = np.asarray(t.ref_codes, np.uint8)
+            starts[g, :R] = t.row_starts
+            ends[g, :R] = t.row_starts + t.row_lens
+            rv[g, :R] = True
+            ns = t.subs[0].size
+            sub_pos[g, :ns] = t.subs[0]
+            sub_read[g, :ns] = t.subs[1]
+            sub_sym[g, :ns] = t.subs[2]
+            nd = t.dels[0].size
+            del_read[g, :nd] = t.dels[0]
+            del_a[g, :nd] = t.dels[1]
+            del_b[g, :nd] = t.dels[2]
+        args = (ref, starts, ends, rv, sub_pos, sub_read, sub_sym,
+                del_read, del_a, del_b)
+        if mesh is not None and mesh.size > 1:
+            res = rs.sharded_phase_consensus_delta(args, mesh, L=Lp, **kw)
+        else:
+            res = rs.phase_consensus_delta(*args, L=Lp, **kw)
     else:
-        res = phase_consensus_rows_packed(packed, starts, rv, L=Lp, W=Wp,
-                                          **kw)
+        _, Rp, Lp, Wp = key
+        # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
+        packed = np.full((G, Rp, Wp // 2), 0xFF, np.uint8)
+        starts = np.zeros((G, Rp), np.int32)
+        rv = np.zeros((G, Rp), bool)
+        for g, ti in enumerate(chunk):
+            t = tiles[ti]
+            R = t.nib.shape[0]
+            packed[g, :R] = t.nib
+            starts[g, :R] = t.q_starts
+            rv[g, :R] = True
+        if mesh is not None and mesh.size > 1:
+            res = rs.sharded_phase_consensus_rows_packed(packed, starts, rv,
+                                                         mesh, L=Lp, W=Wp,
+                                                         **kw)
+        else:
+            res = rs.phase_consensus_rows_packed(packed, starts, rv, L=Lp,
+                                                 W=Wp, **kw)
     try:
         res.copy_to_host_async()
     except Exception:
@@ -314,7 +419,6 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
     first_dispatch = [None]
 
     def flush(key, force: bool):
-        Rp, _Lp, Wp = key
         G_full = _batch_size(key, cfg, n_devices)
         G_small = max(min(G_full, 8), n_devices)
         idxs = buckets.get(key, [])
@@ -326,7 +430,7 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
                 first_dispatch[0] = _time.perf_counter()
             res = _dispatch_one(tiles, chunk, key, G, cfg, mesh)
             st["n_chunks"] += 1
-            st["h2d_bytes"] += G * Rp * (Wp // 2) + G * Rp * 5
+            st["h2d_bytes"] += _h2d_bytes(key, G)
             pending.append((chunk, key, res))
         buckets[key] = idxs
 
@@ -353,7 +457,7 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
         st["device_wait_s"] += _time.perf_counter() - t0
         from focalsv_tpu.parallel.region_step import flat_layout
         st["d2h_bytes"] += len(chunk) * flat_layout(
-            key[0], key[1], cfg.phasing.max_sites)["__total__"][1]
+            key[1], key[2], cfg.phasing.max_sites)["__total__"][1]
         for i in chunk:
             fin_futs[i] = pool.submit(timed_finish, i, tiles[i], outs.get(i))
     if first_dispatch[0] is not None:
@@ -367,7 +471,7 @@ def decode_chunk(tiles: list[RegionTile], chunk: list[int], key: tuple,
     """Materialize one chunk's flat result buffers (blocks only for this
     chunk) into per-tile unpacked outputs."""
     from focalsv_tpu.parallel.region_step import unflatten_result
-    Rp, Lp, _Wp = key
+    Rp, Lp = key[1], key[2]
     S = cfg.phasing.max_sites
     bufs = np.asarray(res)
     out: dict[int, tuple] = {}

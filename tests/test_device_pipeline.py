@@ -156,3 +156,46 @@ def test_process_chromosome_device_matches_host(tmp_path):
     _, snvs = read_vcf(snv_paths[0])
     assert snvs and all(r.gt in ("0|1", "1|0") for r in snvs)
     assert all("PS" in r.info for r in snvs)
+
+
+def test_forced_dense_encoding_matches_delta():
+    """The dense-row fallback encoding (high-noise tiles) must produce the
+    same device results as the default delta encoding."""
+    import copy
+
+    from focalsv_tpu import native
+    from focalsv_tpu.parallel.region_step import BLOCK, pack_row_tile
+
+    cfg = preset("HIFI")
+    regions = _mk_regions("HIFI")[:4]
+    delta_tiles = [dx.build_tile(rg.reads, rg.ref, 0, rg.chrom, cfg)
+                   for rg in regions]
+    assert all(t.encoding == "delta" for t in delta_tiles)
+    dense_tiles = []
+    for rg in regions:
+        t = dx.build_tile(rg.reads, rg.ref, 0, rg.chrom, cfg)
+        out = native.build_tile_rows(t.usable, 0, t.region_len,
+                                     dx._wbucket, BLOCK)
+        if out is not None:
+            t.nib, starts, t.row_lens, _ins, t.W_pad = out
+            t.row_starts = starts
+        else:
+            from focalsv_tpu.assembly.consensus import compact_pileup_rows
+            rows, starts, _ins = compact_pileup_rows(
+                t.usable, list(range(len(t.usable))), 0, t.region_len)
+            t.row_starts = starts.astype(np.int32)
+            t.row_lens = np.array([len(r) for r in rows], np.int32)
+            offs = (t.row_starts % BLOCK).astype(np.int32)
+            t.W_pad = dx._wbucket(int((t.row_lens + offs).max()))
+            t.nib = pack_row_tile(rows, t.W_pad, offsets=offs)
+        t.q_starts = (t.row_starts // BLOCK).astype(np.int32)
+        t.encoding = "dense"
+        dense_tiles.append(t)
+    out_a = dx.run_device_step(delta_tiles, cfg)
+    out_b = dx.run_device_step(dense_tiles, cfg)
+    for i in range(len(regions)):
+        ra = dx.process_region_device(delta_tiles[i], out_a.get(i), cfg,
+                                      apply_fp_filter=True)
+        rb = dx.process_region_device(dense_tiles[i], out_b.get(i), cfg,
+                                      apply_fp_filter=True)
+        _assert_region_equal(ra, rb, f"encoding region {i}")

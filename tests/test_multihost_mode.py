@@ -107,10 +107,36 @@ def test_gather_records_roundtrip():
         VcfRecord("chr2", 99, "b", "A", "A" + "ACGT" * 200, ".", "PASS",
                   {"SVTYPE": "INS", "SVLEN": 800}, "1/1"),
     ]
-    payload, width = gather.encode_records(recs)
-    back = gather.decode_records(payload)
+    flat, lens = gather.encode_records(recs)
+    back = gather.decode_records(flat, lens)
     assert [r.to_line() for r in back] == [r.to_line() for r in recs]
     assert gather.allgather_records(recs) == recs
+
+
+def test_gather_encoding_is_width_safe():
+    """One 50 kb-ALT INS among 1k small records must NOT pad every record
+    to the long line's width: the offset encoding keeps the payload at
+    O(total record bytes), like the reference's `cat` (focalsv.py:66-70)."""
+    import numpy as np
+
+    from focalsv_tpu.io.vcf import VcfRecord
+    from focalsv_tpu.parallel import gather
+
+    long_alt = "A" + "ACGT" * 12_500           # 50 kb ALT sequence
+    recs = [VcfRecord("chr1", 1000, "big", "A", long_alt, ".", "PASS",
+                      {"SVTYPE": "INS", "SVLEN": 50_000}, "0/1")]
+    for i in range(1000):
+        recs.append(VcfRecord("chr1", 2000 + i * 40, f"s{i}", "ATT", "A",
+                              ".", "PASS", {"SVTYPE": "DEL", "SVLEN": -2},
+                              "0/1"))
+    flat, lens = gather.encode_records(recs)
+    total = int(lens.sum())
+    assert flat.size == total                   # zero padding inside a host
+    # the old fixed-width scheme would ship >50 MB (1001 rows x ~50 kb);
+    # the offset encoding ships the actual bytes (~130 kB)
+    assert total < 200_000
+    back = gather.decode_records(flat, lens)
+    assert [r.to_line() for r in back] == [r.to_line() for r in recs]
 
 
 def test_merge_barrier_raises_on_missing_host(tmp_path):
