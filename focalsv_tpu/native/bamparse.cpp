@@ -313,7 +313,9 @@ void tile_delta_count(const int64_t* cig_ptrs, const int32_t* n_cigs,
         int64_t total_ref = 0;
         for (int32_t k = 0; k < nc; k++) {
             const int32_t op = cig[2 * k];
-            if (consumes_ref(op)) total_ref += cig[2 * k + 1];
+            if (op == CMATCH || op == CEQUAL || op == CDIFF ||
+                op == CDEL || op == CREF_SKIP)
+                total_ref += cig[2 * k + 1];
         }
         int64_t r0 = rpos0 > 0 ? rpos0 : 0;
         int64_t r1 = rpos0 + total_ref < region_len ? rpos0 + total_ref

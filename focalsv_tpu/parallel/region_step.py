@@ -625,6 +625,175 @@ def phase_consensus_delta(
                          sub_sym, del_read, del_a, del_b)
 
 
+def _u8_to_i32(seg: jax.Array, *shape: int) -> jax.Array:
+    """Static-slice uint8 segment -> int32 array (little-endian bitcast,
+    matching the host's np .view packing)."""
+    return jax.lax.bitcast_convert_type(
+        seg.reshape(*shape, 4), jnp.int32)
+
+
+def delta_flat_layout(G: int, R: int, L: int, Ds: int, Dd: int
+                      ) -> dict[str, tuple[int, int]]:
+    """Byte offsets of the single-buffer delta chunk wire format.
+
+    The tunneled production link pays a large per-ARRAY round-trip cost
+    (measured ~100 ms per argument on the axon relay); shipping ten
+    argument arrays per chunk made argument latency, not bytes, the
+    dominant device-window cost.  One uint8 buffer per chunk pays it
+    once.  All sections are 4-byte aligned by construction (R, Ds, Dd
+    pow2 >= 8; L a 4096-multiple)."""
+    out = {}
+    off = 0
+    for name, size in (
+        ("ref", G * L),
+        ("starts", G * R * 4),
+        ("ends", G * R * 4),
+        ("rv", G * R),
+        ("sub_pos", G * Ds * 4),
+        ("sub_read", G * Ds * 4),
+        ("sub_sym", G * Ds),
+        ("del_read", G * Dd * 4),
+        ("del_a", G * Dd * 4),
+        ("del_b", G * Dd * 4),
+    ):
+        out[name] = (off, off + size)
+        off += size
+    out["__total__"] = (0, off)
+    return out
+
+
+def pack_delta_chunk(tiles, chunk, G: int, R: int, L: int, Ds: int, Dd: int
+                     ) -> np.ndarray:
+    """Host-side single-buffer pack of one delta chunk (delta_flat_layout).
+
+    ``tiles[i]`` needs .ref_codes, .row_starts, .row_lens, .subs, .dels."""
+    lay = delta_flat_layout(G, R, L, Ds, Dd)
+    buf = np.zeros(lay["__total__"][1], np.uint8)
+
+    def sect(name, dt, *shape):
+        a, b = lay[name]
+        return buf[a:b].view(dt).reshape(*shape)
+
+    ref = sect("ref", np.uint8, G, L)
+    starts = sect("starts", np.int32, G, R)
+    ends = sect("ends", np.int32, G, R)
+    rv = sect("rv", np.uint8, G, R)
+    sub_pos = sect("sub_pos", np.int32, G, Ds)
+    sub_read = sect("sub_read", np.int32, G, Ds)
+    sub_sym = sect("sub_sym", np.uint8, G, Ds)
+    del_read = sect("del_read", np.int32, G, Dd)
+    del_a = sect("del_a", np.int32, G, Dd)
+    del_b = sect("del_b", np.int32, G, Dd)
+    sub_read[:] = -1
+    del_read[:] = -1
+    for g, ti in enumerate(chunk):
+        t = tiles[ti]
+        Ra = t.row_starts.shape[0]
+        La = t.region_len
+        ref[g, :La] = np.asarray(t.ref_codes, np.uint8)
+        starts[g, :Ra] = t.row_starts
+        ends[g, :Ra] = t.row_starts + t.row_lens
+        rv[g, :Ra] = 1
+        ns = t.subs[0].size
+        sub_pos[g, :ns] = t.subs[0]
+        sub_read[g, :ns] = t.subs[1]
+        sub_sym[g, :ns] = t.subs[2]
+        nd = t.dels[0].size
+        del_read[g, :nd] = t.dels[0]
+        del_a[g, :nd] = t.dels[1]
+        del_b[g, :nd] = t.dels[2]
+    return buf
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES
+                   + ("G", "R", "L", "Ds", "Dd"))
+def phase_consensus_delta_flat(
+    buf: jax.Array,          # (total,) uint8, delta_flat_layout
+    *,
+    G: int, R: int, L: int, Ds: int, Dd: int,
+    max_sites: int = 512,
+    mec_iters: int = 30,
+    min_site_depth: int = 4,
+    min_minor_count: int = 2,
+    lo_num: int = 1, lo_den: int = 4,
+    hi_num: int = 3, hi_den: int = 4,
+    purify_window: int = 4,
+    purify_min_pairs: int = 4,
+    purify_num: int = 1, purify_den: int = 2,
+):
+    """Single-argument production entry: unpacks delta_flat_layout on
+    device and runs phase_consensus_delta's math."""
+    lay = delta_flat_layout(G, R, L, Ds, Dd)
+
+    def seg(name):
+        a, b = lay[name]
+        return buf[a:b]
+
+    ref = seg("ref").reshape(G, L)
+    starts = _u8_to_i32(seg("starts"), G, R)
+    ends = _u8_to_i32(seg("ends"), G, R)
+    rv = seg("rv").reshape(G, R) != 0
+    sub_pos = _u8_to_i32(seg("sub_pos"), G, Ds)
+    sub_read = _u8_to_i32(seg("sub_read"), G, Ds)
+    sub_sym = seg("sub_sym").reshape(G, Ds)
+    del_read = _u8_to_i32(seg("del_read"), G, Dd)
+    del_a = _u8_to_i32(seg("del_a"), G, Dd)
+    del_b = _u8_to_i32(seg("del_b"), G, Dd)
+    kw = dict(
+        max_sites=max_sites, mec_iters=mec_iters,
+        min_site_depth=min_site_depth, min_minor_count=min_minor_count,
+        lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
+        purify_window=purify_window, purify_min_pairs=purify_min_pairs,
+        purify_num=purify_num, purify_den=purify_den)
+
+    def one(*args):
+        return jnp.concatenate(_flat_parts(_one_region_delta(*args, **kw), L))
+
+    return jax.vmap(one)(ref, starts, ends, rv, sub_pos, sub_read,
+                         sub_sym, del_read, del_a, del_b)
+
+
+def sharded_phase_consensus_delta_flat(buf, mesh, *, G, R, L, Ds, Dd, **kw):
+    """phase_consensus_delta_flat sharded over the mesh's regions axis.
+
+    The flat buffer is reshaped to (n_dev, bytes/dev) so the region batch
+    splits across devices (G must be divisible by the mesh size; the
+    per-device slice is a valid delta_flat_layout of G/n_dev regions only
+    when every section's G-stride divides evenly, which pack_delta_chunk's
+    G-major layout does NOT -- so shard by re-packing per device)."""
+    from jax.sharding import PartitionSpec as P
+
+    from focalsv_tpu.parallel.mesh import DATA_AXIS
+    n = mesh.size
+    assert G % n == 0, (G, n)
+    Gd = G // n
+    lay = delta_flat_layout(G, R, L, Ds, Dd)
+    layd = delta_flat_layout(Gd, R, L, Ds, Dd)
+    # slice each G-major section into per-device contiguous blocks and
+    # re-concatenate so every device holds a self-contained Gd-layout
+    parts = []
+    for d in range(n):
+        segs = []
+        for name in ("ref", "starts", "ends", "rv", "sub_pos", "sub_read",
+                     "sub_sym", "del_read", "del_a", "del_b"):
+            a, b = lay[name]
+            per = (b - a) // G
+            segs.append(buf[a + d * Gd * per : a + (d + 1) * Gd * per])
+        parts.append(np.concatenate(segs))
+    dev_buf = np.stack(parts)          # (n, bytes_per_device)
+    del layd
+    spec = P(DATA_AXIS)
+    fn = jax.shard_map(
+        lambda bb: phase_consensus_delta_flat(bb[0], G=Gd, R=R, L=L,
+                                              Ds=Ds, Dd=Dd, **kw),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(dev_buf).reshape(G, -1)
+
+
 def sharded_phase_consensus_delta(args: tuple, mesh, *, L, **kw):
     """phase_consensus_delta sharded over the mesh's regions axis."""
     from jax.sharding import PartitionSpec as P
@@ -724,6 +893,109 @@ def phase_consensus_rows_packed(
     rv4 = read_valid.reshape(G // inner, inner, read_valid.shape[1])
     out = jax.lax.map(lambda args: jax.vmap(one)(*args), (p4, s4, rv4))
     return out.reshape(G, -1)
+
+
+def rows_flat_layout(G: int, R: int, W: int) -> dict[str, tuple[int, int]]:
+    """Single-buffer wire format of a dense (packed-rows) chunk: one
+    argument array per dispatch (see delta_flat_layout on why)."""
+    out = {}
+    off = 0
+    for name, size in (
+        ("rows", G * R * (W // 2)),
+        ("qstart", G * R * 4),
+        ("rv", G * R),
+    ):
+        out[name] = (off, off + size)
+        off += size
+    out["__total__"] = (0, off)
+    return out
+
+
+def pack_rows_chunk(tiles, chunk, G: int, R: int, W: int) -> np.ndarray:
+    """Host-side single-buffer pack of one dense chunk (rows_flat_layout)."""
+    lay = rows_flat_layout(G, R, W)
+    buf = np.zeros(lay["__total__"][1], np.uint8)
+    a, b = lay["rows"]
+    rows = buf[a:b].reshape(G, R, W // 2)
+    rows[:] = 0xFF                     # two NOCOV nibbles
+    a, b = lay["qstart"]
+    qstart = buf[a:b].view(np.int32).reshape(G, R)
+    a, b = lay["rv"]
+    rv = buf[a:b].reshape(G, R)
+    for g, ti in enumerate(chunk):
+        t = tiles[ti]
+        Ra = t.nib.shape[0]
+        rows[g, :Ra] = t.nib
+        qstart[g, :Ra] = t.q_starts
+        rv[g, :Ra] = 1
+    return buf
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES
+                   + ("G", "R", "L", "W"))
+def phase_consensus_rows_flat(
+    buf: jax.Array,          # (total,) uint8, rows_flat_layout
+    *,
+    G: int, R: int, L: int, W: int,
+    max_sites: int = 512,
+    mec_iters: int = 30,
+    min_site_depth: int = 4,
+    min_minor_count: int = 2,
+    lo_num: int = 1, lo_den: int = 4,
+    hi_num: int = 3, hi_den: int = 4,
+    purify_window: int = 4,
+    purify_min_pairs: int = 4,
+    purify_num: int = 1, purify_den: int = 2,
+):
+    """Single-argument dense entry: unpacks rows_flat_layout on device and
+    runs phase_consensus_rows_packed's math."""
+    lay = rows_flat_layout(G, R, W)
+
+    def seg(name):
+        a, b = lay[name]
+        return buf[a:b]
+
+    rows = seg("rows").reshape(G, R, W // 2)
+    qstart = _u8_to_i32(seg("qstart"), G, R)
+    rv = seg("rv").reshape(G, R) != 0
+    return phase_consensus_rows_packed(
+        rows, qstart, rv, L=L, W=W,
+        max_sites=max_sites, mec_iters=mec_iters,
+        min_site_depth=min_site_depth, min_minor_count=min_minor_count,
+        lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
+        purify_window=purify_window, purify_min_pairs=purify_min_pairs,
+        purify_num=purify_num, purify_den=purify_den)
+
+
+def sharded_phase_consensus_rows_flat(buf, mesh, *, G, R, L, W, **kw):
+    """phase_consensus_rows_flat sharded over the mesh's regions axis
+    (per-device re-pack, as sharded_phase_consensus_delta_flat)."""
+    from jax.sharding import PartitionSpec as P
+
+    from focalsv_tpu.parallel.mesh import DATA_AXIS
+    n = mesh.size
+    assert G % n == 0, (G, n)
+    Gd = G // n
+    lay = rows_flat_layout(G, R, W)
+    parts = []
+    for d in range(n):
+        segs = []
+        for name in ("rows", "qstart", "rv"):
+            a, b = lay[name]
+            per = (b - a) // G
+            segs.append(buf[a + d * Gd * per : a + (d + 1) * Gd * per])
+        parts.append(np.concatenate(segs))
+    dev_buf = np.stack(parts)
+    spec = P(DATA_AXIS)
+    fn = jax.shard_map(
+        lambda bb: phase_consensus_rows_flat(bb[0], G=Gd, R=R, L=L, W=W,
+                                             **kw),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(dev_buf).reshape(G, -1)
 
 
 def sharded_phase_consensus_rows_packed(packed_rows, row_start, read_valid,

@@ -212,11 +212,19 @@ def _bucket_key(tile: RegionTile, cfg: PipelineConfig) -> tuple | None:
 
 
 def _batch_size(key: tuple, cfg: PipelineConfig, n_devices: int) -> int:
-    # budget on the expanded (R, L) working set -- the HBM bound, not the
-    # (much smaller) transfer
     ex = cfg.execution
-    g = max(1, min(ex.max_regions_per_batch,
-                   int(ex.batch_bytes // (key[1] * key[2]))))
+    if key[0] == "delta":
+        # the delta kernel's working set is O(L) per region (counts/vote
+        # tables), not O(R*L): larger batches per dispatch amortize the
+        # per-chunk round-trip cost of the tunneled link
+        per_region = key[2] * 64
+        cap = 4 * ex.max_regions_per_batch
+    else:
+        # budget on the expanded (R, L) working set -- the HBM bound, not
+        # the (much smaller) transfer
+        per_region = key[1] * key[2]
+        cap = ex.max_regions_per_batch
+    g = max(1, min(cap, int(ex.batch_bytes // per_region)))
     if n_devices > 1:
         # shard_map needs the batch divisible by the mesh
         g = max(n_devices, (g // n_devices) * n_devices)
@@ -278,59 +286,26 @@ def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
     compute and each other."""
     from focalsv_tpu.parallel import region_step as rs
     kw = rs.phase_consensus_kwargs(cfg.phasing)
+    # single-argument wire format: the tunneled link pays a large
+    # per-array round-trip cost, so each chunk ships ONE uint8 buffer
     if key[0] == "delta":
         _, Rp, Lp, Ds, Dd = key
-        ref = np.zeros((G, Lp), np.uint8)
-        starts = np.zeros((G, Rp), np.int32)
-        ends = np.zeros((G, Rp), np.int32)
-        rv = np.zeros((G, Rp), bool)
-        sub_pos = np.zeros((G, Ds), np.int32)
-        sub_read = np.full((G, Ds), -1, np.int32)
-        sub_sym = np.zeros((G, Ds), np.uint8)
-        del_read = np.full((G, Dd), -1, np.int32)
-        del_a = np.zeros((G, Dd), np.int32)
-        del_b = np.zeros((G, Dd), np.int32)
-        for g, ti in enumerate(chunk):
-            t = tiles[ti]
-            R = t.row_starts.shape[0]
-            L = t.region_len
-            ref[g, :L] = np.asarray(t.ref_codes, np.uint8)
-            starts[g, :R] = t.row_starts
-            ends[g, :R] = t.row_starts + t.row_lens
-            rv[g, :R] = True
-            ns = t.subs[0].size
-            sub_pos[g, :ns] = t.subs[0]
-            sub_read[g, :ns] = t.subs[1]
-            sub_sym[g, :ns] = t.subs[2]
-            nd = t.dels[0].size
-            del_read[g, :nd] = t.dels[0]
-            del_a[g, :nd] = t.dels[1]
-            del_b[g, :nd] = t.dels[2]
-        args = (ref, starts, ends, rv, sub_pos, sub_read, sub_sym,
-                del_read, del_a, del_b)
+        buf = rs.pack_delta_chunk(tiles, chunk, G, Rp, Lp, Ds, Dd)
         if mesh is not None and mesh.size > 1:
-            res = rs.sharded_phase_consensus_delta(args, mesh, L=Lp, **kw)
+            res = rs.sharded_phase_consensus_delta_flat(
+                buf, mesh, G=G, R=Rp, L=Lp, Ds=Ds, Dd=Dd, **kw)
         else:
-            res = rs.phase_consensus_delta(*args, L=Lp, **kw)
+            res = rs.phase_consensus_delta_flat(buf, G=G, R=Rp, L=Lp,
+                                                Ds=Ds, Dd=Dd, **kw)
     else:
         _, Rp, Lp, Wp = key
-        # 0xFF = two NOCOV nibbles: padding rows/columns are uncovered
-        packed = np.full((G, Rp, Wp // 2), 0xFF, np.uint8)
-        starts = np.zeros((G, Rp), np.int32)
-        rv = np.zeros((G, Rp), bool)
-        for g, ti in enumerate(chunk):
-            t = tiles[ti]
-            R = t.nib.shape[0]
-            packed[g, :R] = t.nib
-            starts[g, :R] = t.q_starts
-            rv[g, :R] = True
+        buf = rs.pack_rows_chunk(tiles, chunk, G, Rp, Wp)
         if mesh is not None and mesh.size > 1:
-            res = rs.sharded_phase_consensus_rows_packed(packed, starts, rv,
-                                                         mesh, L=Lp, W=Wp,
-                                                         **kw)
+            res = rs.sharded_phase_consensus_rows_flat(
+                buf, mesh, G=G, R=Rp, L=Lp, W=Wp, **kw)
         else:
-            res = rs.phase_consensus_rows_packed(packed, starts, rv, L=Lp,
-                                                 W=Wp, **kw)
+            res = rs.phase_consensus_rows_flat(buf, G=G, R=Rp, L=Lp, W=Wp,
+                                               **kw)
     try:
         res.copy_to_host_async()
     except Exception:

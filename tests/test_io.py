@@ -163,3 +163,14 @@ def test_simulator_error_model():
         qlen = int(rec.cigar[bamio.CONSUMES_QUERY[rec.cigar[:, 0]], 1].sum())
         assert qlen == rec.query_length
         assert rec.cigar[:, 1].min() > 0
+
+
+def test_native_libraries_build():
+    """The native fast paths must actually compile in this image -- every
+    caller has a silent Python fallback, so without this gate a C++ compile
+    error would pass the whole suite while silently degrading the
+    production path (it did, once)."""
+    from focalsv_tpu import native
+    assert native.get_lib() is not None, "chain.cpp failed to build"
+    assert native.get_parse_lib() is not None, "bamparse.cpp failed to build"
+    assert native.get_scan_lib() is not None, "bamscan.cpp failed to build"
