@@ -96,6 +96,79 @@ def run_device_mode(jobs, cfg, workers: int, repeats: int = 2):
     return best
 
 
+def measure_kernel_compute(jobs, cfg):
+    """Pure device-compute time of the production phasing+consensus kernel,
+    measured transfer-free: the kernel body runs K times inside ONE
+    compiled lax.fori_loop dispatch (iterations serialized by a data
+    dependency), so the (K-1) marginal iterations contain zero h2d/d2h and
+    zero per-call RPC latency -- the tunneled link makes naive per-call
+    timing unusable (block_until_ready does not flush it).
+
+    Returns {"kernel_ms_per_batch", "gcells_per_s", "shape"} for the
+    largest bucket in the workload, or None."""
+    import jax
+    import jax.numpy as jnp
+
+    from focalsv_tpu.parallel import region_step as rs
+    from focalsv_tpu.pipeline import device_exec as dx
+
+    # build tiles for ONE chunk of the largest bucket
+    tiles, keys = [], []
+    for j in jobs:
+        reads, ref, chrom = _load_job(j)
+        t = dx.build_tile(reads, ref, 0, chrom, cfg)
+        k = dx._bucket_key(t, cfg)
+        if k is not None:
+            tiles.append(t)
+            keys.append(k)
+    if not tiles:
+        return None
+    key = max(set(keys), key=lambda k: (k[2], keys.count(k)))
+    idxs = [i for i, k in enumerate(keys) if k == key][:8]
+    G = len(idxs)
+    kw = rs.phase_consensus_kwargs(cfg.phasing)
+    if key[0] != "delta":
+        return None
+    _, Rp, Lp, Ds, Dd = key
+    buf = rs.pack_delta_chunk(tiles, idxs, G, Rp, Lp, Ds, Dd)
+
+    def run_k(buf, K: int):
+        lay = rs.delta_flat_layout(G, Rp, Lp, Ds, Dd)
+
+        def one_pass(b):
+            return rs.phase_consensus_delta_flat.__wrapped__(
+                b, G=G, R=Rp, L=Lp, Ds=Ds, Dd=Dd, **kw)
+
+        def body(_, carry):
+            b, acc = carry
+            out = one_pass(b)
+            # data dependency: fold one result byte back into the buffer's
+            # tail padding region so XLA cannot collapse the iterations
+            b = b.at[lay["__total__"][1] - 1].set(out[0, 0])
+            return b, acc + out[0, 0].astype(jnp.int32)
+
+        f = jax.jit(lambda b: jax.lax.fori_loop(
+            0, K, body, (b, jnp.int32(0)))[1], static_argnums=())
+        return f(buf)
+
+    t_of = {}
+    for K in (1, 5):
+        r = run_k(buf, K)
+        _ = int(r)                       # warm (compile)
+        t0 = time.perf_counter()
+        r = run_k(buf, K)
+        _ = int(r)
+        t_of[K] = time.perf_counter() - t0
+    per_iter = max((t_of[5] - t_of[1]) / 4, 1e-6)
+    cells = G * Rp * Lp
+    return {
+        "kernel_ms_per_batch": round(per_iter * 1e3, 2),
+        "gcells_per_s": round(cells / per_iter / 1e9, 1),
+        "shape": list(key),
+        "G": G,
+    }
+
+
 def run_host_mode(jobs, cfg, workers: int) -> tuple[float, int]:
     """The CPU baseline: per-region host numpy/native path on a thread pool
     (numpy + the native DP kernel release the GIL)."""
@@ -225,6 +298,24 @@ def main():
           f"{baseline_rps} regions/s. The reference stack cannot run here "
           f"(no pysam/edlib/binaries), so vs_baseline is a lower bound vs "
           f"the actual reference pipeline.", file=sys.stderr)
+    try:
+        ks = measure_kernel_compute(jobs[3 : 3 + 16 : 4], cfg)
+        if ks:
+            # upper-bound estimate: every region priced at the LARGEST
+            # bucket's per-region kernel cost
+            est_compute = (ks["kernel_ms_per_batch"] / 1e3) \
+                * (args.regions / ks["G"])
+            print(f"# kernel compute (transfer-free, fori-loop marginal): "
+                  f"{ks['kernel_ms_per_batch']} ms per {ks['G']}-region "
+                  f"batch of bucket {ks['shape']} = "
+                  f"{ks['gcells_per_s']} Gcells/s; workload-wide pure "
+                  f"compute <= ~{est_compute:.2f}s of the "
+                  f"{st.get('device_busy_s', 0):.2f}s device window "
+                  f"(<= {100 * est_compute / max(st.get('device_busy_s', 1e-9), 1e-9):.0f}% "
+                  f"compute; the rest is transfer + RPC latency + queueing)",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# kernel compute measurement failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

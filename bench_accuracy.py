@@ -33,7 +33,8 @@ ERR_MODELS = {
     "ONT": dict(sub_rate=0.04, ins_rate=0.02, del_rate=0.02, coverage=28),
 }
 
-CASES = ("basic", "repeat", "segdup", "nested", "large", "dropout")
+CASES = ("basic", "repeat", "segdup", "nested", "large", "dropout",
+         "alnnoise")
 
 _state = {}
 
@@ -56,7 +57,12 @@ def make_case(seed: int, case: str, err: dict, ref_len: int = 30_000,
 
     from focalsv_tpu.testing import simulate as sim
 
-    rng = np.random.default_rng(seed)
+    # distinct substream from simulate_region's default_rng(seed): with the
+    # SAME seed, a large INS sequence drawn here replays the same PCG64
+    # bitstream that later generates the region reference -- the "novel"
+    # insertion came out ~identical to the reference prefix, silently
+    # turning every large-INS case into a distant duplication
+    rng = np.random.default_rng([seed, 0xA11])
     kw = dict(err)
 
     if case == "basic":
@@ -115,6 +121,23 @@ def make_case(seed: int, case: str, err: dict, ref_len: int = 30_000,
         svs = [_rand_sv(rng, pos, length)]
         return sim.simulate_region(seed=seed, ref_len=big_len, n_snps=60,
                                    svs=svs, **kw)
+
+    if case == "alnnoise":
+        # basic SV mix + systematic ALIGNMENT noise (indel-placement
+        # jitter + soft-clip growth, read sequences untouched): the
+        # regime the pair-HMM realignment and FP filter exist for --
+        # truth CIGARs otherwise make pileup projection exact
+        n_sv = int(rng.integers(1, 4))
+        svs, lo = [], 6_000
+        span = (ref_len - 12_000) // n_sv
+        for i in range(n_sv):
+            pos = int(rng.integers(lo + i * span, lo + i * span + span - 3_000))
+            length = int(np.exp(rng.uniform(np.log(50), np.log(max_svlen))))
+            svs.append(_rand_sv(rng, pos, length))
+        region = sim.simulate_region(seed=seed, ref_len=ref_len, n_snps=25,
+                                     svs=svs, **kw)
+        sim.jitter_alignments(region, rng)
+        return region
 
     if case == "dropout":
         pos = ref_len // 2

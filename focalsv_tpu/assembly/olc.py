@@ -121,17 +121,40 @@ def orient_reads(
     return out, flip
 
 
+def _mode_shift(diffs: list[int], tol: int = 32) -> int:
+    """Median of the heaviest +-tol cluster of pairwise position diffs.
+
+    Inside a tandem-repeat array the shared-seed diffs are multimodal at
+    unit-length multiples; a global median can land between modes and
+    collapse repeat copies out of the layout (the unit-count error then
+    erases whole-unit indel SVs from BOTH haplotype contigs)."""
+    d = np.sort(np.asarray(diffs, np.int64))
+    lo = np.searchsorted(d, d - tol)
+    hi = np.searchsorted(d, d + tol)
+    i = int(np.argmax(hi - lo))
+    return int(np.median(d[lo[i] : hi[i]]))
+
+
 def find_overlaps(
     seqs: list[np.ndarray], k: int = 15, w: int = 10,
     min_shared: int = 8, min_olp: int = 500, band: int = 256,
     max_err: float = 0.2,
 ) -> list[Overlap]:
-    """Candidate pairs by shared minimizers; dovetail verify by banded DP."""
+    """Candidate pairs by shared minimizers; dovetail verify by banded DP.
+
+    Shift votes come ONLY from minimizers unique within both reads: a
+    tandem-array k-mer recurs in every unit copy, so its matches vote for
+    every unit-multiple shift at once (hifiasm's anchor filtering drops
+    such seeds the same way).  Flanking-unique seeds pin the true shift;
+    pairs sharing no unique seeds (both reads interior to an array) are
+    genuinely ambiguous and form no edge."""
     mins = [minimizers(s, k, w) for s in seqs]
-    # hash -> list of (read, pos)
+    # hash -> list of (read, pos), read-unique hashes only
     table: dict[int, list[tuple[int, int]]] = {}
     for ri, (pos, h, _) in enumerate(mins):
-        for p, hh in zip(pos, h):
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        once = cnt[inv] == 1
+        for p, hh in zip(pos[once], h[once]):
             table.setdefault(int(hh), []).append((ri, int(p)))
     votes: dict[tuple[int, int], list[int]] = {}
     for entries in table.values():
@@ -148,7 +171,7 @@ def find_overlaps(
     for (ra, rb), diffs in votes.items():
         if len(diffs) < min_shared:
             continue
-        shift = int(np.median(diffs))   # rb's start in ra coordinates
+        shift = _mode_shift(diffs)      # rb's start in ra coordinates
         la, lb = len(seqs[ra]), len(seqs[rb])
         # orient: positive shift -> b hangs off a's right end
         if shift >= 0:

@@ -82,7 +82,7 @@ def chain_anchors(
                 if score >= min_score:
                     split.append(Chain(anchors=piece, score=score,
                                        rel_strand=c.rel_strand))
-    chains = _join_colinear(split, k, q_len)
+    chains = _join_colinear(split, k, q_len, split_gap=split_gap)
     chains.sort(key=lambda c: -c.score)
     # primary/secondary masking: drop chains whose query span is mostly
     # covered.  Spans must be compared in ORIGINAL query coordinates --
@@ -119,7 +119,8 @@ def _q_span(c: Chain, k: int, q_len: int | None) -> tuple[int, int]:
 
 
 def _join_colinear(chains: list[Chain], k: int, q_len: int | None,
-                   max_join_gap: int = 100_000) -> list[Chain]:
+                   max_join_gap: int = 100_000,
+                   split_gap: int = 400) -> list[Chain]:
     """Re-join same-strand chains that are colinear across a gap.
 
     The split heuristics (divergent interior, side-path masking) can cut one
@@ -127,7 +128,17 @@ def _join_colinear(chains: list[Chain], k: int, q_len: int | None,
     coordinates continue forward in both query and target are merged back so
     the gap resolves in the banded DP (e.g. a deletion inside a tandem
     repeat).  A join is vetoed when a DIFFERENT chain covers the query gap --
-    that is the inversion/duplication signature, which must stay split."""
+    that is the inversion/duplication signature, which must stay split.
+
+    A join additionally requires the gap to be DP-resolvable: either one of
+    the two deltas is small (a true indel, the same invariant the split
+    rule cuts on) or the gap is near-diagonal (dt ~ dq: an anchor-sparse
+    repeat tract whose interior the banded DP aligns through, possibly
+    with a unit-multiple indel).  Without the check, a handful of spurious
+    anchors could capture a real flank chain across a doubly-divergent gap
+    and the banded DP then glues novel sequence to unrelated reference as
+    one giant mismatch-ridden M run (observed on contigs carrying >20 kb
+    novel insertions)."""
     out: list[Chain] = []
     for rel in (0, 1):
         cs = sorted([c for c in chains if c.rel_strand == rel],
@@ -145,7 +156,12 @@ def _join_colinear(chains: list[Chain], k: int, q_len: int | None,
                     first = a[keep][0]
                     dt = int(first[0]) - pt
                     dq = int(first[1]) - pq
-                    if 0 < dt <= max_join_gap and 0 < dq <= max_join_gap:
+                    resolvable = (
+                        min(dt, dq) <= split_gap + k            # indel gap
+                        or abs(dt - dq) <= max(split_gap,       # diagonal
+                                               min(dt, dq) // 4))
+                    if (0 < dt <= max_join_gap and 0 < dq <= max_join_gap
+                            and resolvable):
                         # veto if the query gap is covered by another chain
                         # OR by the portion of c the trim would discard (a
                         # duplicated block maps the gap's content elsewhere

@@ -94,6 +94,115 @@ def _unpack_nibbles(packed: jax.Array, L: int) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1)[..., :L]
 
 
+def _phase_core(A, site_pos, sel, rv, a0, a1, code_map, *,
+                mec_iters, purify_window, purify_min_pairs,
+                purify_num, purify_den):
+    """Shared phasing core: purification -> site compaction -> PER-BLOCK
+    MEC -> per-read haplotype/block assignment -> per-site summaries.
+
+    Blocks are maximal runs of consecutive sites linked by >=1 co-covering
+    read (phasing/phase.py::phase_blocks); MEC runs independently per
+    block via prefix-sum block aggregation (no (R, B) matmuls: each site
+    gathers its block's [start, end] prefix-sum bounds), bit-matching the
+    host's per-block mec_phase loop.  Reads take the assignment of the
+    block of their FIRST covered site (the host's ascending-block
+    `hp == 0` priority).  With a single block this reduces exactly to the
+    r3 global-MEC formulation.
+
+    Returns (site_pos, n_sites, A, hp, read_block (R,) i16 (-1 =
+    unphased), sa0, sa1, site_h, conn).
+    """
+    R, S = A.shape
+    i32 = jnp.int32
+
+    # --- purification (integer 3-sigma co-phasing test) ---------------
+    covA = A >= 0
+    passed = jnp.zeros(S, bool)
+    for d in range(1, min(purify_window, S - 1) + 1):
+        both = covA[:, :-d] & covA[:, d:]
+        n = both.sum(0, dtype=i32)
+        same = ((A[:, :-d] == A[:, d:]) & both).sum(0, dtype=i32)
+        dev = jnp.abs(2 * same - n)
+        ok = ((n >= purify_min_pairs)
+              & (dev * purify_den >= n * purify_num)
+              & (dev * dev >= 9 * n))
+        passed = passed | jnp.pad(ok, (0, d)) | jnp.pad(ok, (d, 0))
+    n_het = sel.sum()
+    passed = jnp.where(n_het >= 2, passed, sel)  # <2 sites: purify is a no-op
+    new_valid = sel & passed
+    # re-compact (valid sites keep ascending position order)
+    slot = jnp.arange(S, dtype=i32)
+    order2 = jnp.argsort(jnp.where(new_valid, slot, S + slot))
+    A = jnp.take(A, order2, axis=1)
+    site_pos = jnp.take(site_pos, order2)
+    new_valid = jnp.take(new_valid, order2)
+    A = jnp.where(new_valid[None, :], A, jnp.int8(-1))
+    n_sites = new_valid.sum().astype(i32)
+
+    # --- block structure ----------------------------------------------
+    covA = A >= 0
+    link = (covA[:, :-1] & covA[:, 1:]).any(0)            # (S-1,)
+    ar = jnp.arange(S, dtype=i32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), ~link])
+    start_of = jax.lax.cummax(jnp.where(is_start, ar, 0))
+    is_end = jnp.concatenate([~link, jnp.ones(1, bool)])
+    end_of = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(is_end, ar, S - 1))))
+    blk = jnp.cumsum(jnp.concatenate(
+        [jnp.zeros(1, i32), (~link).astype(i32)]))
+
+    # --- MEC phasing (per block) --------------------------------------
+    # chained adjacent-site parity init (cumulative XOR, reset per block)
+    both = covA[:, :-1] & covA[:, 1:]
+    nb = both.sum(0, dtype=i32)
+    same = ((A[:, :-1] == A[:, 1:]) & both).sum(0, dtype=i32)
+    flip = ((nb > 0) & (same < nb - same)).astype(i32)
+    H = jnp.concatenate([jnp.zeros(1, i32), jnp.cumsum(flip)])
+    h = ((H - H[start_of]) % 2).astype(jnp.int8)
+
+    def bsum(M):
+        """Per-site sums of M over the site's block (prefix-sum gather)."""
+        P = jnp.cumsum(M, axis=1)
+        hi = jnp.take(P, end_of, axis=1)
+        lo = jnp.where((start_of > 0)[None, :],
+                       jnp.take(P, jnp.maximum(start_of - 1, 0), axis=1), 0)
+        return hi - lo
+
+    def it(_, h):
+        agree = bsum(((A == h[None, :]) & covA).astype(i32))
+        dis = bsum(((A == (1 - h)[None, :]) & covA).astype(i32))
+        as0 = agree >= dis         # read assigned hap1 within s's block
+        v1 = ((A == 1) & covA & as0).sum(0, dtype=i32) + \
+             ((A == 0) & covA & ~as0).sum(0, dtype=i32)
+        v0 = ((A == 0) & covA & as0).sum(0, dtype=i32) + \
+             ((A == 1) & covA & ~as0).sum(0, dtype=i32)
+        return jnp.where(v1 > v0, 1, 0).astype(jnp.int8)
+
+    h = jax.lax.fori_loop(0, mec_iters, it, h)
+    agree = bsum(((A == h[None, :]) & covA).astype(i32))
+    dis = bsum(((A == (1 - h)[None, :]) & covA).astype(i32))
+    as0 = agree >= dis
+    fs = jnp.argmax(covA, axis=1).astype(i32)   # first covered site
+    has = covA.any(1)
+    a_first = jnp.take_along_axis(as0, fs[:, None], axis=1)[:, 0]
+    hp = jnp.where(rv & has,
+                   jnp.where(a_first, 1, 2), 0).astype(jnp.int8)
+    read_block = jnp.where(rv & has, blk[fs], -1).astype(jnp.int16)
+
+    # --- per-site summaries shipped INSTEAD of the (R, S) allele matrix
+    sa0 = code_map[a0[site_pos]]
+    sa1 = code_map[a1[site_pos]]
+    hap1 = (hp == 1)[:, None]
+    hap2 = (hp == 2)[:, None]
+    v1 = ((A == 1) & hap1).sum(0, dtype=i32) + \
+         ((A == 0) & hap2).sum(0, dtype=i32)
+    v0 = ((A == 0) & hap1).sum(0, dtype=i32) + \
+         ((A == 1) & hap2).sum(0, dtype=i32)
+    site_h = (v1 > v0).astype(jnp.uint8)
+    conn = jnp.pad(link, (0, 1)).astype(jnp.uint8)
+    return site_pos, n_sites, A, hp, read_block, sa0, sa1, site_h, conn
+
+
 def _one_region(
     m, rv, *,
     max_sites, mec_iters, min_site_depth, min_minor_count,
@@ -156,75 +265,12 @@ def _one_region(
                   jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)
     A = jnp.where(sel[None, :] & rv[:, None], A, jnp.int8(-1))
 
-    # --- purification (integer 3-sigma co-phasing test) ---------------
-    covA = A >= 0
-    passed = jnp.zeros(S, bool)
-    for d in range(1, min(purify_window, S - 1) + 1):
-        both = covA[:, :-d] & covA[:, d:]
-        n = both.sum(0, dtype=jnp.int32)
-        same = ((A[:, :-d] == A[:, d:]) & both).sum(0, dtype=jnp.int32)
-        dev = jnp.abs(2 * same - n)
-        ok = ((n >= purify_min_pairs)
-              & (dev * purify_den >= n * purify_num)
-              & (dev * dev >= 9 * n))
-        passed = passed | jnp.pad(ok, (0, d)) | jnp.pad(ok, (d, 0))
-    n_het = sel.sum()
-    passed = jnp.where(n_het >= 2, passed, sel)  # <2 sites: purify is a no-op
-    new_valid = sel & passed
-    # re-compact (valid sites keep ascending position order)
-    slot = jnp.arange(S, dtype=jnp.int32)
-    order2 = jnp.argsort(jnp.where(new_valid, slot, S + slot))
-    A = jnp.take(A, order2, axis=1)
-    site_pos = jnp.take(site_pos, order2)
-    new_valid = jnp.take(new_valid, order2)
-    A = jnp.where(new_valid[None, :], A, jnp.int8(-1))
-    n_sites = new_valid.sum().astype(jnp.int32)
-
-    # --- MEC phasing ---------------------------------------------------
-    covA = A >= 0
-    # chained adjacent-site parity init as a cumulative XOR
-    both = covA[:, :-1] & covA[:, 1:]
-    nb = both.sum(0, dtype=jnp.int32)
-    same = ((A[:, :-1] == A[:, 1:]) & both).sum(0, dtype=jnp.int32)
-    flip = ((nb > 0) & (same < nb - same)).astype(jnp.int32)
-    h = (jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(flip)])
-         % 2).astype(jnp.int8)
-
-    def it(_, h):
-        agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
-        disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
-        assign = jnp.where(agree >= disagree, 0, 1)
-        hap1 = (assign == 0)[:, None] & covA
-        hap2 = (assign == 1)[:, None] & covA
-        v1 = ((A == 1) & hap1).sum(0, dtype=jnp.int32) + \
-             ((A == 0) & hap2).sum(0, dtype=jnp.int32)
-        v0 = ((A == 0) & hap1).sum(0, dtype=jnp.int32) + \
-             ((A == 1) & hap2).sum(0, dtype=jnp.int32)
-        return jnp.where(v1 > v0, 1, 0).astype(jnp.int8)
-
-    h = jax.lax.fori_loop(0, mec_iters, it, h)
-    agree = ((A == h[None, :]) & covA).sum(1, dtype=jnp.int32)
-    disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=jnp.int32)
-    informative = (agree + disagree) > 0
-    hp = jnp.where(rv & informative,
-                   jnp.where(agree >= disagree, 1, 2), 0).astype(jnp.int8)
-
-    # --- per-site summaries shipped INSTEAD of the (R, S) allele matrix ---
-    # final-order allele codes (host find_het_sites math: top-2 counts)
-    sa0 = code_map[a0[site_pos]]
-    sa1 = code_map[a1[site_pos]]
-    # hap-1 allele index per site (phasing/phase.py::phased_snv_records)
-    hap1 = (hp == 1)[:, None]
-    hap2 = (hp == 2)[:, None]
-    v1 = ((A == 1) & hap1).sum(0, dtype=jnp.int32) + \
-         ((A == 0) & hap2).sum(0, dtype=jnp.int32)
-    v0 = ((A == 0) & hap1).sum(0, dtype=jnp.int32) + \
-         ((A == 1) & hap2).sum(0, dtype=jnp.int32)
-    site_h = (v1 > v0).astype(jnp.uint8)
-    # site connectivity (phasing/phase.py::phase_blocks): conn[s] = some read
-    # covers sites s and s+1
-    conn = jnp.pad((covA[:, :-1] & covA[:, 1:]).any(0), (0, 1)
-                   ).astype(jnp.uint8)
+    (site_pos, n_sites, A, hp, read_block, sa0, sa1, site_h,
+     conn) = _phase_core(
+        A, site_pos, sel, rv, a0, a1, code_map,
+        mec_iters=mec_iters, purify_window=purify_window,
+        purify_min_pairs=purify_min_pairs, purify_num=purify_num,
+        purify_den=purify_den)
 
     # --- consensus votes per haplotype (unphased reads vote in both) --
     def vote(mask):
@@ -240,7 +286,7 @@ def _one_region(
     s2, c2 = vote(hp == 2)
     return (site_pos, n_sites, A, hp,
             jnp.stack([s1, s2]), jnp.stack([c1, c2]),
-            sa0, sa1, site_h, conn)
+            sa0, sa1, site_h, conn, read_block)
 
 
 _STATIC_NAMES = (
@@ -297,6 +343,7 @@ def flat_layout(R: int, L: int, S: int) -> dict[str, tuple[int, int]]:
         ("site_h", S),
         ("site_conn", S),
         ("hp", R),
+        ("read_block", 2 * R),  # (R,) int16 phase-block id, -1 unphased
         ("symnib", L),          # (2, L) symbols 0..5, packed 2-per-byte
         ("covbits", 2 * (L // 8)),
     ):
@@ -309,7 +356,7 @@ def flat_layout(R: int, L: int, S: int) -> dict[str, tuple[int, int]]:
 def _flat_parts(res_tuple, L):
     """Assemble one region's flat result buffer from _one_region outputs."""
     (site_pos, n_sites, _A, hp, sym, cov,
-     sa0, sa1, site_h, conn) = res_tuple
+     sa0, sa1, site_h, conn, read_block) = res_tuple
     # split-half 4-bit pack of the (2, L) consensus symbols (values 0..5)
     h = L // 2
     symnib = (sym[:, :h] | (sym[:, h:] << 4)).astype(jnp.uint8)
@@ -321,6 +368,7 @@ def _flat_parts(res_tuple, L):
         site_h.reshape(-1),
         conn.reshape(-1),
         jax.lax.bitcast_convert_type(hp, jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(read_block, jnp.uint8).reshape(-1),
         symnib.reshape(-1),
         jnp.packbits(cov.reshape(-1)),
     ]
@@ -489,69 +537,12 @@ def _one_region_delta(
                   jnp.where(sub == sa1[None, :], 1, -1)).astype(jnp.int8)
     A = jnp.where(sel[None, :] & rv[:, None], A, jnp.int8(-1))
 
-    # --- purification (identical to _one_region) -----------------------
-    covA = A >= 0
-    passed = jnp.zeros(S, bool)
-    for d in range(1, min(purify_window, S - 1) + 1):
-        both = covA[:, :-d] & covA[:, d:]
-        n = both.sum(0, dtype=i32)
-        same = ((A[:, :-d] == A[:, d:]) & both).sum(0, dtype=i32)
-        dev = jnp.abs(2 * same - n)
-        ok = ((n >= purify_min_pairs)
-              & (dev * purify_den >= n * purify_num)
-              & (dev * dev >= 9 * n))
-        passed = passed | jnp.pad(ok, (0, d)) | jnp.pad(ok, (d, 0))
-    n_het = sel.sum()
-    passed = jnp.where(n_het >= 2, passed, sel)
-    new_valid = sel & passed
-    slot = jnp.arange(S, dtype=i32)
-    order2 = jnp.argsort(jnp.where(new_valid, slot, S + slot))
-    A = jnp.take(A, order2, axis=1)
-    site_pos = jnp.take(site_pos, order2)
-    new_valid = jnp.take(new_valid, order2)
-    A = jnp.where(new_valid[None, :], A, jnp.int8(-1))
-    n_sites = new_valid.sum().astype(i32)
-
-    # --- MEC phasing (identical) ---------------------------------------
-    covA = A >= 0
-    both = covA[:, :-1] & covA[:, 1:]
-    nb = both.sum(0, dtype=i32)
-    same = ((A[:, :-1] == A[:, 1:]) & both).sum(0, dtype=i32)
-    flip = ((nb > 0) & (same < nb - same)).astype(i32)
-    h = (jnp.concatenate([jnp.zeros(1, i32), jnp.cumsum(flip)])
-         % 2).astype(jnp.int8)
-
-    def it(_, h):
-        agree = ((A == h[None, :]) & covA).sum(1, dtype=i32)
-        disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=i32)
-        assign = jnp.where(agree >= disagree, 0, 1)
-        hap1 = (assign == 0)[:, None] & covA
-        hap2 = (assign == 1)[:, None] & covA
-        v1 = ((A == 1) & hap1).sum(0, dtype=i32) + \
-             ((A == 0) & hap2).sum(0, dtype=i32)
-        v0 = ((A == 0) & hap1).sum(0, dtype=i32) + \
-             ((A == 1) & hap2).sum(0, dtype=i32)
-        return jnp.where(v1 > v0, 1, 0).astype(jnp.int8)
-
-    h = jax.lax.fori_loop(0, mec_iters, it, h)
-    agree = ((A == h[None, :]) & covA).sum(1, dtype=i32)
-    disagree = ((A == (1 - h)[None, :]) & covA).sum(1, dtype=i32)
-    informative = (agree + disagree) > 0
-    hp = jnp.where(rv & informative,
-                   jnp.where(agree >= disagree, 1, 2), 0).astype(jnp.int8)
-
-    # --- per-site summaries (identical) --------------------------------
-    sa0 = code_map[a0[site_pos]]
-    sa1 = code_map[a1[site_pos]]
-    hap1 = (hp == 1)[:, None]
-    hap2 = (hp == 2)[:, None]
-    v1 = ((A == 1) & hap1).sum(0, dtype=i32) + \
-         ((A == 0) & hap2).sum(0, dtype=i32)
-    v0 = ((A == 0) & hap1).sum(0, dtype=i32) + \
-         ((A == 1) & hap2).sum(0, dtype=i32)
-    site_h = (v1 > v0).astype(jnp.uint8)
-    conn = jnp.pad((covA[:, :-1] & covA[:, 1:]).any(0), (0, 1)
-                   ).astype(jnp.uint8)
+    (site_pos, n_sites, A, hp, read_block, sa0, sa1, site_h,
+     conn) = _phase_core(
+        A, site_pos, sel, rv, a0, a1, code_map,
+        mec_iters=mec_iters, purify_window=purify_window,
+        purify_min_pairs=purify_min_pairs, purify_num=purify_num,
+        purify_den=purify_den)
 
     # --- consensus votes per haplotype from the deltas -----------------
     # (dense `vote` reconstruction: per-column 6-symbol counts over the
@@ -581,7 +572,7 @@ def _one_region_delta(
     s2, c2 = vote(hp == 2)
     return (site_pos, n_sites, A, hp,
             jnp.stack([s1, s2]), jnp.stack([c1, c2]),
-            sa0, sa1, site_h, conn)
+            sa0, sa1, site_h, conn, read_block)
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES + ("L",))
@@ -1029,6 +1020,7 @@ def unflatten_result(buf: np.ndarray, R: int, L: int, S: int) -> tuple:
     n_sites = int(seg("n_sites").view(np.int32)[0])
     site_pos = seg("site_pos").view(np.int32)
     hp = seg("hp").view(np.int8)
+    read_block = seg("read_block").view(np.int16)
     symnib = seg("symnib").reshape(2, L // 2)
     h = L // 2
     sym = np.empty((2, L), np.uint8)
@@ -1037,7 +1029,8 @@ def unflatten_result(buf: np.ndarray, R: int, L: int, S: int) -> tuple:
     covered = np.unpackbits(seg("covbits").reshape(2, L // 8),
                             axis=1).astype(bool)
     return (site_pos, n_sites, hp, sym, covered,
-            seg("site_a0"), seg("site_a1"), seg("site_h"), seg("site_conn"))
+            seg("site_a0"), seg("site_a1"), seg("site_h"), seg("site_conn"),
+            read_block)
 
 
 def phase_consensus_kwargs(phasing_cfg) -> dict:

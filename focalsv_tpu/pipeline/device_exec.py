@@ -10,11 +10,12 @@ stitching, contig->reference alignment and variant extraction -- finishes on
 host threads, with the aligner's gap DPs batched cross-thread onto the device
 (`parallel/batch_executor.dp_batching`).
 
-Bit-parity contract: for single-phase-block regions this path produces
-byte-identical contigs, hp/ps assignments and VCF records to the host
-per-region path (pipeline/region.py::process_region); multi-block regions
-(device MEC is global, host MEC is per block) transparently fall back to the
-host path.  tests/test_device_pipeline.py enforces the contract.
+Bit-parity contract: this path produces byte-identical contigs, hp/ps
+assignments and VCF records to the host per-region path
+(pipeline/region.py::process_region).  The device MEC is per phase block
+(segment-id prefix sums in region_step._phase_core), so multi-block regions
+phase on device too; their consensus votes run per group on host
+(assemble_haplotypes).  tests/test_device_pipeline.py enforces the contract.
 
 Reference contrast: focalsv/main.py:104-155 runs longshot + hifiasm +
 minimap2 *processes* per region; here the same per-region math is a batched
@@ -455,10 +456,10 @@ def decode_chunk(tiles: list[RegionTile], chunk: list[int], key: tuple,
         R = len(t.usable)
         L = t.region_len
         (site_pos, n_sites, hp, sym, cov, sa0, sa1, site_h,
-         conn) = unflatten_result(bufs[g], Rp, Lp, S)
+         conn, read_block) = unflatten_result(bufs[g], Rp, Lp, S)
         n = n_sites
         out[ti] = (site_pos[:n], n, hp[:R], sym[:, :L], cov[:, :L],
-                   sa0[:n], sa1[:n], site_h[:n], conn[:n])
+                   sa0[:n], sa1[:n], site_h[:n], conn[:n], read_block[:R])
     return out
 
 
@@ -475,15 +476,20 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
                 apply_fp_filter: bool = False) -> RegionResult | None:
     """Host completion of one region from the device step's outputs.
 
-    Returns None when the region needs the host fallback (multi-block
-    phasing), in which case the caller reruns process_region.
+    Phasing (including multi-block per-block MEC) comes entirely from the
+    device step; single-block regions also take the device consensus-vote
+    tracks.  Multi-block regions vote per (phase-set, haplotype) group on
+    host (the device's two global tracks mix block memberships where
+    groups' read spans overlap), reusing the host path's
+    assemble_haplotypes -- the expensive phasing never re-runs.
     """
     R = len(tile.usable)
     L = tile.region_len
     chrom, start = tile.chrom, tile.start
     res = RegionResult(chrom=chrom, start=start, end=start + L)
     res.n_reads = R
-    site_pos, S, hp, sym, cov, sa0, sa1, site_h, conn = dev
+    site_pos, S, hp, sym, cov, sa0, sa1, site_h, conn, read_block = dev
+    multi = False
     if S == 0:
         pr = PhaseResult(np.zeros(R, np.int8), np.full(R, -1, np.int64), 0, 0,
                          np.zeros(0, np.int64), np.zeros(0, np.int64))
@@ -493,11 +499,16 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
         blocks = np.zeros(S, np.int64)
         if S > 1:
             blocks[1:] = np.cumsum(1 - conn[: S - 1].astype(np.int64))
-        if int(blocks.max()) > 0:
-            return None   # multi-block region: host per-block MEC path
-        ps_id = start + int(site_pos[0]) + 1
-        ps = np.where(hp > 0, ps_id, -1).astype(np.int64)
-        pr = PhaseResult(hp.astype(np.int8), ps, S, 1,
+        n_blocks = int(blocks.max()) + 1
+        multi = n_blocks > 1
+        # first site index of each block -> per-read phase-set id from the
+        # device's read_block assignment (block of the first covered site)
+        _, bstart = np.unique(blocks, return_index=True)
+        ps = np.full(R, -1, np.int64)
+        phased = hp > 0
+        rb = np.clip(read_block.astype(np.int64), 0, n_blocks - 1)
+        ps[phased] = start + site_pos[bstart[rb[phased]]] + 1
+        pr = PhaseResult(hp.astype(np.int8), ps, S, n_blocks,
                          site_pos.astype(np.int64) + start, blocks,
                          site_allele0=np.asarray(sa0, np.uint8),
                          site_allele1=np.asarray(sa1, np.uint8),
@@ -508,39 +519,47 @@ def finish_tile(tile: RegionTile, dev, cfg: PipelineConfig,
     hp1: dict[str, np.ndarray] = {}
     hp2: dict[str, np.ndarray] = {}
     name_prefix = f"{chrom}_S{start}"
-    from focalsv_tpu.assembly.consensus import SpanValid
-    for (psid, k), idxs in sorted(groups.items()):
-        tgt = hp1 if k in (0, 1) else hp2
-        segs: list = []
-        if cfg.assembly.method == "olc":
-            from focalsv_tpu.assembly.olc import assemble_olc
-            contig = assemble_olc([tile.usable[i].seq for i in idxs],
-                                  cfg.assembly)
-        elif len(idxs) < cfg.assembly.min_reads:
-            contig = None
-        else:
-            row = 0 if k in (0, 1) else 1
-            inss = [(pos, mi, seq) for mi, ri in enumerate(idxs)
-                    for (pos, seq) in tile.ins_by_read[ri]]
-            valid = SpanValid(tile.row_starts[idxs],
-                              tile.row_starts[idxs] + tile.row_lens[idxs])
-            ins_at = decide_insertions(valid, inss, L)
-            own, _rival = group_exclusive_sets(groups, psid, k)
-            ins_at = add_clip_insertions(ins_at, tile.usable, idxs, start, L,
-                                         own=own, valid=valid,
-                                         cfg=cfg.assembly)
-            contig, segs = stitch_contig_segments(sym[row], cov[row], ins_at)
-        if contig is None:
-            continue
-        name = f"{name_prefix}_PS{psid}_hp{max(k, 1)}"
-        tgt[name] = contig
-        if segs:
-            res.contig_alns[name] = segs
-        if k == 0:
-            name2 = f"{name_prefix}_PS{psid}_hp2"
-            hp2[name2] = contig
+    if multi and cfg.assembly.method != "olc":
+        # per-group host votes (device phasing, host consensus)
+        from focalsv_tpu.assembly.consensus import assemble_haplotypes
+        hp1, hp2 = assemble_haplotypes(
+            tile.usable, groups, start, L, cfg.assembly,
+            name_prefix=name_prefix, alns_out=res.contig_alns)
+    else:
+        from focalsv_tpu.assembly.consensus import SpanValid
+        for (psid, k), idxs in sorted(groups.items()):
+            tgt = hp1 if k in (0, 1) else hp2
+            segs: list = []
+            if cfg.assembly.method == "olc":
+                from focalsv_tpu.assembly.olc import assemble_olc
+                contig = assemble_olc([tile.usable[i].seq for i in idxs],
+                                      cfg.assembly)
+            elif len(idxs) < cfg.assembly.min_reads:
+                contig = None
+            else:
+                row = 0 if k in (0, 1) else 1
+                inss = [(pos, mi, seq) for mi, ri in enumerate(idxs)
+                        for (pos, seq) in tile.ins_by_read[ri]]
+                valid = SpanValid(tile.row_starts[idxs],
+                                  tile.row_starts[idxs] + tile.row_lens[idxs])
+                ins_at = decide_insertions(valid, inss, L)
+                own, _rival = group_exclusive_sets(groups, psid, k)
+                ins_at = add_clip_insertions(ins_at, tile.usable, idxs,
+                                             start, L, own=own, valid=valid,
+                                             cfg=cfg.assembly)
+                contig, segs = stitch_contig_segments(sym[row], cov[row],
+                                                      ins_at)
+            if contig is None:
+                continue
+            name = f"{name_prefix}_PS{psid}_hp{max(k, 1)}"
+            tgt[name] = contig
             if segs:
-                res.contig_alns[name2] = segs
+                res.contig_alns[name] = segs
+            if k == 0:
+                name2 = f"{name_prefix}_PS{psid}_hp2"
+                hp2[name2] = contig
+                if segs:
+                    res.contig_alns[name2] = segs
     res.n_contigs = len(hp1) + len(hp2)
     res.usable_reads = tile.usable
     res.phase_hp, res.phase_ps = pr.hp, pr.ps

@@ -24,17 +24,46 @@ from focalsv_tpu.ops.normalize import left_align_del
 from focalsv_tpu.signatures.reads import extract_read_sigs
 
 
-def _normalize_sigs(sigs, ref_codes, region_start) -> None:
-    """Left-align DEL signature positions in place (repeat canonicalization;
-    INS signatures match by position+size only, same canonical shift)."""
-    from focalsv_tpu.signatures.sigs import DEL as _DEL
+def _normalize_sigs(sigs, ref_codes, region_start, reads=None) -> None:
+    """Left-align signature positions in place (repeat canonicalization).
+
+    The contig caller left-aligns both DEL and INS calls
+    (calling/dippav.py); read signatures must take the SAME canonical
+    positions or the FP filter's 500 bp shift gate drops true calls inside
+    tandem arrays (a whole-unit INS left-aligns to the array start, many
+    units away from the raw CIGAR placement -- reference analog:
+    both sides of FP_filter_v1.py see minimap2's left-aligning CIGARs).
+    INS alignment needs the inserted sequence, sliced from the source read
+    when ``reads`` is given (skipped when offsets don't resolve, e.g.
+    hard-clipped split segments)."""
+    from focalsv_tpu.signatures.sigs import DEL as _DEL, INS as _INS
+    from focalsv_tpu.io.bam import CHARD_CLIP
+    from focalsv_tpu.ops.normalize import left_align_ins
+    by_name: dict[str, list] = {}
+    if reads is not None:
+        for r in reads:
+            if not r.is_unmapped and not r.is_secondary:
+                by_name.setdefault(r.name, []).append(r)
     L = len(ref_codes)
     for i in range(len(sigs)):
         p = int(sigs.pos[i]) - region_start
         ln = int(sigs.svlen[i])
-        if 1 <= p and p + ln <= L:
-            if sigs.svtype[i] == _DEL:
-                sigs.pos[i] = left_align_del(ref_codes, p, ln) + region_start
+        if not (1 <= p and p + ln <= L):
+            continue
+        if sigs.svtype[i] == _DEL:
+            sigs.pos[i] = left_align_del(ref_codes, p, ln) + region_start
+        elif sigs.svtype[i] == _INS and reads is not None:
+            name = sigs.names[int(sigs.contig[i])]
+            rs, re_ = int(sigs.rstart[i]), int(sigs.rend[i])
+            for r in by_name.get(name, ()):
+                hc = int(r.cigar[0, 1]) if (r.cigar.shape[0]
+                                            and r.cigar[0, 0] == CHARD_CLIP) \
+                    else 0
+                a, b = rs - hc, re_ - hc
+                if 0 <= a < b <= len(r.seq) and b - a == ln:
+                    new_p, _ = left_align_ins(ref_codes, p, r.seq[a:b])
+                    sigs.pos[i] = new_p + region_start
+                    break
 
 
 @dataclass
@@ -123,7 +152,7 @@ def finish_region_result(
         read_sigs = extract_read_sigs(
             reads, min_cigar_mapq=cfg.read_scan.min_mapq,
             min_svlen=cfg.read_scan.min_sv_size)
-        _normalize_sigs(read_sigs, ref_codes, region_start)
+        _normalize_sigs(read_sigs, ref_codes, region_start, reads=reads)
         records, dropped = fp_filter_records(records, read_sigs, cfg.fp_filter)
         res.dropped.extend(dropped)
     if records:

@@ -355,3 +355,59 @@ def drop_coverage(region: "SimulatedRegion", lo: int, hi: int,
         keep_hap.append(h)
     region.reads = keep_reads
     region.read_hap = keep_hap
+
+
+def jitter_alignments(region: "SimulatedRegion",
+                      rng: np.random.Generator | None = None,
+                      indel_jitter: int = 25, clip_grow: int = 12,
+                      frac: float = 0.7) -> None:
+    """Systematic ALIGNMENT noise: perturb read CIGARs without changing
+    read sequences or reference spans.
+
+    The simulator's truth CIGARs make pileup projection exact by
+    construction; real aligners place indels ambiguously (homopolymer /
+    repeat left-shift) and trim low-identity flanks into soft clips.  This
+    models that regime -- the one longshot's pair-HMM realignment and the
+    FP filter exist for (reference 2_phasing/longshot.py:20):
+
+    - indel placement jitter: an interior I/D op between two M runs slides
+      by +-indel_jitter (flanking M lengths adjust; the displaced columns
+      become mismatches inside M, exactly an aligner's placement error);
+    - soft-clip growth: up to clip_grow leading/trailing M bases become S
+      (leading growth advances pos), the trimmed-flank artifact.
+
+    Applied in place to a ``frac`` fraction of mapped reads.
+    """
+    rng = rng or np.random.default_rng(0)
+    CM, CI, CD, CS = 0, 1, 2, 4
+    for r in region.reads:
+        if r.is_unmapped or rng.random() > frac:
+            continue
+        ops = [[int(o), int(ln)] for o, ln in r.cigar]
+        for i in range(1, len(ops) - 1):
+            op = ops[i][0]
+            if op in (CI, CD) and ops[i - 1][0] == CM \
+                    and ops[i + 1][0] == CM:
+                j = int(rng.integers(-indel_jitter, indel_jitter + 1))
+                j = max(-(ops[i - 1][1] - 1), min(ops[i + 1][1] - 1, j))
+                ops[i - 1][1] += j
+                ops[i + 1][1] -= j
+        g = int(rng.integers(0, clip_grow + 1))
+        first_m = 0 if ops[0][0] == CM else (1 if len(ops) > 1 else -1)
+        if g and first_m >= 0 and ops[first_m][0] == CM \
+                and ops[first_m][1] > g:
+            ops[first_m][1] -= g
+            if first_m > 0 and ops[0][0] == CS:
+                ops[0][1] += g
+            else:
+                ops.insert(0, [CS, g])
+            r.pos += g
+        g = int(rng.integers(0, clip_grow + 1))
+        last_m = len(ops) - 1 if ops[-1][0] == CM else len(ops) - 2
+        if g and last_m >= 0 and ops[last_m][0] == CM and ops[last_m][1] > g:
+            ops[last_m][1] -= g
+            if last_m < len(ops) - 1 and ops[-1][0] == CS:
+                ops[-1][1] += g
+            else:
+                ops.append([CS, g])
+        r.cigar = np.array([o for o in ops if o[1] > 0], np.int32)

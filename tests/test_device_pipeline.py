@@ -82,10 +82,11 @@ def test_device_host_parity(dtype):
     assert n_sv > 0   # the parity must be exercised on real SV calls
 
 
-def test_multiblock_fallback_matches_host():
-    """A coverage gap splits the het sites into two phase blocks; the device
-    path must detect the multi-block structure and reproduce the host result
-    via fallback."""
+def test_multiblock_stays_on_device_and_matches_host():
+    """A coverage gap splits the het sites into two phase blocks; the
+    device path must phase BOTH blocks on device (per-block MEC with
+    segment-id prefix sums -- no host re-phasing fallback) and reproduce
+    the host result bit-for-bit."""
     cfg = preset("HIFI")
     rg = sim.simulate_region(seed=7200, ref_len=16000, coverage=20,
                              n_snps=16, read_len_mean=3000)
@@ -93,12 +94,15 @@ def test_multiblock_fallback_matches_host():
     reads = [r for r in rg.reads
              if r.reference_end < 7000 or r.pos > 9500]
     host = process_region(reads, rg.ref, 0, rg.chrom, cfg)
+    assert host.n_blocks > 1   # the case must actually be multi-block
     tile = dx.build_tile(reads, rg.ref, 0, rg.chrom, cfg)
     dev_outs = dx.run_device_step([tile], cfg)
-    dres = dx.process_region_device(tile, dev_outs.get(0), cfg,
-                                    apply_fp_filter=True)
-    if host.n_blocks > 1:
-        assert dx.finish_tile(tile, dev_outs[0], cfg) is None
+    # the device path completes the region itself (no process_region rerun)
+    dres = dx.finish_tile(tile, dev_outs[0], cfg, apply_fp_filter=True)
+    assert dres is not None
+    assert dres.n_blocks == host.n_blocks
+    # reads carry per-block phase-set ids, not one global PS
+    assert len({int(p) for p in dres.phase_ps if p > 0}) == host.n_blocks
     _assert_region_equal(host, dres, "multiblock")
 
 

@@ -164,8 +164,8 @@ def test_delta_kernel_matches_dense_kernel():
         ref[None], starts[None], ends[None], valid[None],
         subs[0][None], subs[1][None], subs[2][None],
         dels[0][None], dels[1][None], dels[2][None], L=L, **kw))
-    (site_pos, n_sites, hp, sym, cov, _a0, _a1, _h, _c) = unflatten_result(
-        flat[0], R, L, S)
+    (site_pos, n_sites, hp, sym, cov, _a0, _a1, _h, _c,
+     _rb) = unflatten_result(flat[0], R, L, S)
     assert n_sites == int(d_n[0])
     np.testing.assert_array_equal(site_pos[:n_sites], d_site[0][:n_sites])
     np.testing.assert_array_equal(hp, d_hp[0])
