@@ -118,12 +118,19 @@ def cmd_protocol(args) -> int:
                                f1=round(b.f1, 4))
     out_csv = os.path.join(args.out_dir, "Truvari_results.csv")
     with open(out_csv, "w", newline="") as f:
+        # provenance marker: these are this framework's IN-PROCESS
+        # protocol-analog numbers (evaluation/compare.py matcher with the
+        # reference thresholds), NOT output of the truvari binary --
+        # consumers of the reference parser's row order skip '#' lines
+        f.write("# focalsv-tpu eval protocol (in-process Truvari-protocol"
+                " analog; truvari itself was not run)\n")
         w = csv.writer(f)
         names = list(cols)
         w.writerow(["metric"] + names)
         for i, key in enumerate(RESULT_KEYS):
             w.writerow([key] + [cols[n][i] for n in names])
-    print(json.dumps({"results": summary, "table": out_csv}, indent=2))
+    print(json.dumps({"results": summary, "table": out_csv,
+                      "provenance": "in-process protocol analog"}, indent=2))
     return 0
 
 
@@ -157,6 +164,21 @@ def main(argv=None) -> int:
     pp.add_argument("--chrs", nargs="+", default=None)
     pp.add_argument("--dipcall", action="store_true")
     pp.set_defaults(fn=cmd_protocol)
+
+    from focalsv_tpu.evaluation.grid import cmd_grid
+    pg = sub.add_parser(
+        "grid", help="parameter grid search + heatmap data "
+        "(Figure5-6 grid_search.py analog)")
+    pg.add_argument("--call", "-c", required=True)
+    pg.add_argument("--truth", "-t", required=True)
+    pg.add_argument("--out_dir", required=True)
+    pg.add_argument("--pctsims", default="0.0,0.25,0.5,0.75,0.9")
+    pg.add_argument("--refdists", default="100,250,500,1000,2000")
+    pg.add_argument("--sizemin", type=int, default=50)
+    pg.add_argument("--pctsize", type=float, default=0.5)
+    pg.add_argument("--png", action="store_true",
+                    help="also render heatmap PNGs (needs matplotlib)")
+    pg.set_defaults(fn=cmd_grid)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -66,17 +66,21 @@ def match_records(
     sizemin: int = 50,
     check_seq: bool = True,
 ) -> BenchResult:
-    """Greedy best-match benchmarking of calls against a truth set."""
+    """Globally-greedy scored matching of calls against a truth set.
+
+    Truvari semantics (truvari_eval_wgs.sh:20-24 thresholds): every
+    (truth, call) pair passing the refdist/pctsize/pctsim gates gets a
+    match score; pairs are assigned best-score-first with each truth and
+    each call used once.  A truth-ORDER greedy pass (r2/r3) could let an
+    earlier truth steal a later truth's only match while a worse
+    alternative remained for it -- the global ordering removes that
+    order dependence."""
     calls = [c for c in calls if _svlen(c) >= sizemin]
     truth = [t for t in truth if _svlen(t) >= sizemin]
-    used = np.zeros(len(calls), bool)
-    tp = 0
-    gt_correct = 0
-    gt_total = 0
-    for t in truth:
-        best, best_i = -1.0, -1
+    edges: list[tuple[float, int, int]] = []
+    for ti, t in enumerate(truth):
         for i, c in enumerate(calls):
-            if used[i] or c.chrom != t.chrom or _svtype(c) != _svtype(t):
+            if c.chrom != t.chrom or _svtype(c) != _svtype(t):
                 continue
             if abs(c.pos - t.pos) > refdist:
                 continue
@@ -93,16 +97,24 @@ def match_records(
                 if sim < pctsim:
                     continue
             score = size_sim - abs(c.pos - t.pos) / (10 * refdist)
-            if score > best:
-                best, best_i = score, i
-        if best_i >= 0:
-            used[best_i] = True
-            tp += 1
-            gt_total += 1
-            tgt = t.gt.replace("|", "/")
-            cgt = calls[best_i].gt.replace("|", "/")
-            if {tgt, tgt[::-1]} & {cgt}:
-                gt_correct += 1
+            edges.append((score, ti, i))
+    edges.sort(key=lambda e: -e[0])
+    used = np.zeros(len(calls), bool)
+    t_done = np.zeros(len(truth), bool)
+    tp = 0
+    gt_correct = 0
+    gt_total = 0
+    for _score, ti, i in edges:
+        if used[i] or t_done[ti]:
+            continue
+        used[i] = True
+        t_done[ti] = True
+        tp += 1
+        gt_total += 1
+        tgt = truth[ti].gt.replace("|", "/")
+        cgt = calls[i].gt.replace("|", "/")
+        if {tgt, tgt[::-1]} & {cgt}:
+            gt_correct += 1
     fn = len(truth) - tp
     fp = int((~used).sum())
     return BenchResult(tp=tp, fp=fp, fn=fn,

@@ -170,7 +170,11 @@ def test_eval_filter_and_protocol(tmp_path):
                                          precision=1.0, f1=0.6667)
     assert out["results"]["INS"]["tp"] == 2
     with open(out["table"]) as f:
-        table = list(csvmod.reader(f))
+        lines = f.read().splitlines()
+    # provenance marker first: the numbers are the in-process protocol
+    # analog, not truvari binary output
+    assert lines[0].startswith("#") and "not run" in lines[0]
+    table = list(csvmod.reader(lines[1:]))
     assert table[0] == ["metric", "INS_50_", "DEL_50_"]
     assert [row[0] for row in table[1:]] == ecli.RESULT_KEYS
     # DEL column: TP-call=1, FP=0, FN=1
@@ -222,3 +226,48 @@ def test_clean_cli(tmp_path):
     left = sorted(p.name for p in rdir.iterdir())
     assert left == ["HP1.fa", "PS100_hp2.fa"]
     assert (other / "final.vcf").exists()
+
+
+def test_eval_grid_search(tmp_path):
+    """`eval grid`: the in-process analog of the reference's truvari
+    parameter grid (Figure5-6 grid_search.py) -- F1 grid CSVs per svtype
+    plus a tidy per-cell table; wider refdist must not lower recall."""
+    import csv as csvmod
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from focalsv_tpu.evaluation import cli as ecli
+    from focalsv_tpu.io.vcf import VcfRecord, write_vcf
+
+    truth = [
+        VcfRecord("chr1", 10_000, "t1", "A" * 201, "A",
+                  info={"SVTYPE": "DEL", "SVLEN": -200}, gt="0/1"),
+        VcfRecord("chr1", 30_000, "t2", "A", "A" + "ACGT" * 50,
+                  info={"SVTYPE": "INS", "SVLEN": 200}, gt="1/1"),
+    ]
+    calls = [
+        VcfRecord("chr1", 10_180, "c1", "A" * 191, "A",   # 180 bp away
+                  info={"SVTYPE": "DEL", "SVLEN": -190}, gt="0/1"),
+        VcfRecord("chr1", 30_004, "c2", "A", "A" + "ACGT" * 50,
+                  info={"SVTYPE": "INS", "SVLEN": 200}, gt="1/1"),
+    ]
+    tp, cp = str(tmp_path / "t.vcf"), str(tmp_path / "c.vcf")
+    write_vcf(tp, truth)
+    write_vcf(cp, calls)
+    out = str(tmp_path / "grid")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = ecli.main(["grid", "--call", cp, "--truth", tp,
+                        "--out_dir", out, "--refdists", "100,500",
+                        "--pctsims", "0.0,0.5"])
+    assert rc == 0
+    res = json.loads(buf.getvalue())
+    assert res["best"]["INS"]["f1"] == 1.0
+    with open(f"{out}/grid_DEL.csv") as f:
+        rows = list(csvmod.reader(f))
+    # DEL at refdist 100 misses the 180 bp-shifted call; at 500 it matches
+    assert float(rows[1][1]) == 0.0 and float(rows[1][2]) == 1.0
+    with open(f"{out}/grid_cells.csv") as f:
+        cells = list(csvmod.reader(f))
+    assert cells[0][0] == "svtype" and len(cells) == 1 + 2 * 4
