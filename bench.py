@@ -155,10 +155,14 @@ def measure_kernel_compute(jobs, cfg):
     for K in (1, 5):
         r = run_k(buf, K)
         _ = int(r)                       # warm (compile)
-        t0 = time.perf_counter()
-        r = run_k(buf, K)
-        _ = int(r)
-        t_of[K] = time.perf_counter() - t0
+        best = None
+        for _rep in range(3):            # tunnel load varies: best-of-3
+            t0 = time.perf_counter()
+            r = run_k(buf, K)
+            _ = int(r)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        t_of[K] = best
     per_iter = max((t_of[5] - t_of[1]) / 4, 1e-6)
     cells = G * Rp * Lp
     return {

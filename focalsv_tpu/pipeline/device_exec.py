@@ -410,6 +410,30 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
             pending.append((chunk, key, res))
         buckets[key] = idxs
 
+    def decode_and_finish(chunk, key, res):
+        t0 = _time.perf_counter()
+        outs = decode_chunk(tiles, chunk, key, res, cfg)
+        st["device_wait_s"] += _time.perf_counter() - t0
+        from focalsv_tpu.parallel.region_step import flat_layout
+        st["d2h_bytes"] += len(chunk) * flat_layout(
+            key[1], key[2], cfg.phasing.max_sites)["__total__"][1]
+        for i in chunk:
+            fin_futs[i] = pool.submit(timed_finish, i, tiles[i], outs.get(i))
+
+    def drain_ready():
+        # decode any chunk whose device result (and async d2h copy) has
+        # already materialized, so its per-region finishes overlap the
+        # remaining tile builds instead of queueing behind all of them
+        while pending:
+            chunk, key, res = pending[0]
+            try:
+                if not res.is_ready():
+                    break
+            except Exception:
+                break
+            pending.pop(0)
+            decode_and_finish(chunk, key, res)
+
     for fut in cf.as_completed(fut_to_idx):
         i = fut_to_idx[fut]
         tile = fut.result()
@@ -424,18 +448,12 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
             continue
         buckets.setdefault(key, []).append(i)
         flush(key, force=False)
+        drain_ready()
     for key in sorted(buckets):
         flush(key, force=True)
-    # decode chunks in dispatch order (d2h copies are already in flight)
+    # decode remaining chunks in dispatch order (d2h already in flight)
     for chunk, key, res in pending:
-        t0 = _time.perf_counter()
-        outs = decode_chunk(tiles, chunk, key, res, cfg)
-        st["device_wait_s"] += _time.perf_counter() - t0
-        from focalsv_tpu.parallel.region_step import flat_layout
-        st["d2h_bytes"] += len(chunk) * flat_layout(
-            key[1], key[2], cfg.phasing.max_sites)["__total__"][1]
-        for i in chunk:
-            fin_futs[i] = pool.submit(timed_finish, i, tiles[i], outs.get(i))
+        decode_and_finish(chunk, key, res)
     if first_dispatch[0] is not None:
         st["device_busy_s"] += _time.perf_counter() - first_dispatch[0]
     return [fin_futs[i].result() if i in fin_futs else None
