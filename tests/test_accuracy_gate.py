@@ -117,3 +117,34 @@ def test_alnnoise_floor(dtype):
     absorbs it via consensus voting + canonical left-alignment."""
     tp, fp, fn = _run(dtype, "alnnoise", [4000 + 97 * i for i in range(3)])
     assert fn == 0 and fp == 0, (dtype, tp, fp, fn)
+
+
+def test_olc_repeat_and_large_floor():
+    """Round-4 OLC floors on the previously-failing classes (VERDICT r3
+    item 3): whole-unit repeat indels (unique-seed shift anchoring +
+    read-sig INS canonicalization) and recoverable large events
+    (DP-resolvable chain joins).  CLR repeat remains the one known-weak
+    cell (guided is the production default there; see PARITY.md)."""
+    import dataclasses
+
+    tp = fp = fn = 0
+    for dtype, case, seeds in (
+        ("HIFI", "repeat", [4000, 4097, 4194]),
+        ("ONT", "repeat", [4097, 4679]),    # hom DEL + het DEL
+        ("HIFI", "large", [4000, 4873]),    # DEL 8.5k hom, INS 8.8k hom
+    ):
+        cfg = preset(dtype)
+        cfg = cfg.replace(assembly=dataclasses.replace(cfg.assembly,
+                                                       method="olc"))
+        for seed in seeds:
+            region = make_case(seed, case, ERR_MODELS[dtype])
+            res = process_region(region.reads, region.ref, 0, region.chrom,
+                                 cfg)
+            truth = truth_from_sim(region.svs, region.chrom, region.ref)
+            b = match_records(res.records, truth,
+                              check_seq=(dtype == "HIFI"))
+            tp, fp, fn = tp + b.tp, fp + b.fp, fn + b.fn
+    rec = tp / max(tp + fn, 1)
+    prec = tp / max(tp + fp, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 >= 0.85, (tp, fp, fn)
