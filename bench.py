@@ -132,9 +132,9 @@ def measure_kernel_compute(jobs, cfg):
     _, Rp, Lp, Ds, Dd = key
     buf = rs.pack_delta_chunk(tiles, idxs, G, Rp, Lp, Ds, Dd)
 
-    def run_k(buf, K: int):
-        lay = rs.delta_flat_layout(G, Rp, Lp, Ds, Dd)
+    lay = rs.delta_flat_layout(G, Rp, Lp, Ds, Dd)
 
+    def make_run_k(K: int):
         def one_pass(b):
             return rs.phase_consensus_delta_flat.__wrapped__(
                 b, G=G, R=Rp, L=Lp, Ds=Ds, Dd=Dd, **kw)
@@ -142,24 +142,28 @@ def measure_kernel_compute(jobs, cfg):
         def body(_, carry):
             b, acc = carry
             out = one_pass(b)
-            # data dependency: fold one result byte back into the buffer's
-            # tail padding region so XLA cannot collapse the iterations
-            b = b.at[lay["__total__"][1] - 1].set(out[0, 0])
+            # loop-carried data dependency so XLA cannot hoist the kernel
+            # out of the loop.  The written byte is the last region's last
+            # sub_sym slot -- padding unless that tile's substitution count
+            # exactly fills its pow2 bucket, and even then the perturbation
+            # cannot bias the TIMING: every op in the kernel is
+            # fixed-shape, so runtime is data-independent.
+            b = b.at[lay["sub_sym"][1] - 1].set(out[0, 0])
             return b, acc + out[0, 0].astype(jnp.int32)
 
-        f = jax.jit(lambda b: jax.lax.fori_loop(
-            0, K, body, (b, jnp.int32(0)))[1], static_argnums=())
-        return f(buf)
+        # jit ONCE per K: rebuilding the jitted callable per rep would
+        # re-trace and re-compile, timing compilation instead of compute
+        return jax.jit(lambda b: jax.lax.fori_loop(
+            0, K, body, (b, jnp.int32(0)))[1])
 
     t_of = {}
     for K in (1, 5):
-        r = run_k(buf, K)
-        _ = int(r)                       # warm (compile)
+        f = make_run_k(K)
+        _ = int(f(buf))                  # warm (compile)
         best = None
         for _rep in range(3):            # tunnel load varies: best-of-3
             t0 = time.perf_counter()
-            r = run_k(buf, K)
-            _ = int(r)
+            _ = int(f(buf))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         t_of[K] = best
@@ -222,7 +226,7 @@ def main():
     ap.add_argument("--dtype", default="HIFI")
     ap.add_argument("--mode", default="device", choices=["device", "host"])
     ap.add_argument("--workers", type=int, default=8)
-    ap.add_argument("--repeats", type=int, default=2,
+    ap.add_argument("--repeats", type=int, default=3,
                     help="timed device passes; best is reported")
     ap.add_argument("--json-only", action="store_true",
                     help="print only the JSON line (baseline subprocess)")

@@ -246,18 +246,8 @@ def build_tile_rows(recs, region_start: int, region_len: int,
     return nib, r0, lens, inss, W_pad
 
 
-def build_tile_delta(recs, ref_codes: np.ndarray, region_start: int,
-                     region_len: int):
-    """Native reference-delta tile extraction in one pass over the CIGARs.
-
-    Returns (r0 (R,) i32, r1 (R,) i32, subs (pos, read, sym), dels
-    (read, a, b), inss [(rpos, read_idx, seq u8)]), or None when the
-    native library is unavailable.  Span/deviation semantics bit-match
-    compact_pileup_rows (assembly/consensus.py) -- the device kernel
-    reconstructs identical column counts from these arrays."""
-    lib = get_parse_lib()
-    if lib is None or not recs:
-        return None
+def _delta_ptr_arrays(recs):
+    """(cig_ptrs, seq_ptrs, n_cigs, poss, keep) for the tile_delta calls."""
     R = len(recs)
     cig_ptrs = np.empty(R, np.int64)
     seq_ptrs = np.empty(R, np.int64)
@@ -276,6 +266,30 @@ def build_tile_delta(recs, ref_codes: np.ndarray, region_start: int,
         n_cigs[i] = cig.shape[0]
         seq_ptrs[i] = seq.ctypes.data
         poss[i] = r.pos
+    return cig_ptrs, seq_ptrs, n_cigs, poss, keep
+
+
+def build_tile_delta(recs, ref_codes: np.ndarray, region_start: int,
+                     region_len: int, dense_if_over: int | None = None):
+    """Native reference-delta tile extraction in one pass over the CIGARs.
+
+    Returns (r0 (R,) i32, r1 (R,) i32, subs (pos, read, sym), dels
+    (read, a, b), inss [(rpos, read_idx, seq u8)]), or None when the
+    native library is unavailable.  Span/deviation semantics bit-match
+    compact_pileup_rows (assembly/consensus.py) -- the device kernel
+    reconstructs identical column counts from these arrays.
+
+    ``dense_if_over``: byte threshold, or a callable (r0, r1) -> threshold
+    (the dense wire size depends on the spans, known only after the count
+    pass).  When the deviation wire size (9 B/sub + 12 B/del run +
+    8 B/read) exceeds it, the fill pass is SKIPPED and ("dense", r0, r1)
+    is returned -- high-noise tiles choose the dense encoding without
+    materializing deltas they would discard."""
+    lib = get_parse_lib()
+    if lib is None or not recs:
+        return None
+    R = len(recs)
+    cig_ptrs, seq_ptrs, n_cigs, poss, keep = _delta_ptr_arrays(recs)
     ref8 = np.ascontiguousarray(ref_codes, np.uint8)
     P32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
     P64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
@@ -287,6 +301,11 @@ def build_tile_delta(recs, ref_codes: np.ndarray, region_start: int,
                          P32(poss), R, region_start, region_len,
                          P32(r0), P32(r1), *[ctypes.byref(c) for c in cnt])
     n_subs, n_dels, n_ins, seq_total = (int(c.value) for c in cnt)
+    if dense_if_over is not None:
+        cap = dense_if_over(r0, r1) if callable(dense_if_over) \
+            else dense_if_over
+        if 9 * n_subs + 12 * n_dels + 8 * R > cap:
+            return ("dense", r0, r1)
     sub_pos = np.empty(n_subs, np.int32)
     sub_read = np.empty(n_subs, np.int32)
     sub_sym = np.empty(n_subs, np.uint8)
@@ -308,7 +327,7 @@ def build_tile_delta(recs, ref_codes: np.ndarray, region_start: int,
     inss = [(int(ins_rpos[k]), int(ins_read[k]),
              ins_seq[ins_off[k]: ins_off[k] + ins_len[k]])
             for k in range(n_ins)]
-    return (r0, r1, (sub_pos, sub_read, sub_sym),
+    return ("delta", r0, r1, (sub_pos, sub_read, sub_sym),
             (del_read, del_a, del_b), inss)
 
 

@@ -94,6 +94,33 @@ def _unpack_nibbles(packed: jax.Array, L: int) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1)[..., :L]
 
 
+def _select_sites_strips_dynamic(bal: jax.Array, L_true, S: int):
+    """Per-strip best-balance site selection with the TRUE region length.
+
+    The padded kernel length L_pad is a bucket shape; strip geometry must
+    come from the region's REAL length or the partition differs from the
+    host's `select_sites_strips` and, whenever het candidates compete
+    within a strip (high-noise pileups), a different site wins -- a
+    latent host/device parity break found by the high-noise gate.  The
+    reshape(S, strip) trick needs a static strip, so this runs two exact
+    segment reductions over dynamic strip ids: per-strip max balance,
+    then per-strip MIN column among the balance ties -- identical to
+    argmax's lowest-index tie rule.  Returns (site_pos (S,) i32,
+    sel (S,) bool), site s belonging to strip s in ascending position
+    order.
+    """
+    Lp = bal.shape[0]
+    strip = jnp.maximum((L_true + S - 1) // S, 1)
+    col = jnp.arange(Lp, dtype=jnp.int32)
+    stripe = jnp.minimum(col // strip, S - 1)
+    best_bal = jnp.full(S, -1.0, jnp.float32).at[stripe].max(bal)
+    is_best = bal == best_bal[stripe]
+    best_col = jnp.full(S, Lp, jnp.int32).at[stripe].min(
+        jnp.where(is_best, col, Lp))
+    sel = best_bal > 0
+    return jnp.where(sel, best_col, 0), sel
+
+
 def _phase_core(A, site_pos, sel, rv, a0, a1, code_map, *,
                 mec_iters, purify_window, purify_min_pairs,
                 purify_num, purify_den):
@@ -204,17 +231,23 @@ def _phase_core(A, site_pos, sel, rv, a0, a1, code_map, *,
 
 
 def _one_region(
-    m, rv, *,
+    m, rv, L_true=None, *,
     max_sites, mec_iters, min_site_depth, min_minor_count,
     lo_num, lo_den, hi_num, hi_den,
     purify_window, purify_min_pairs, purify_num, purify_den,
 ):
     """One region's phasing + consensus; see the module docstring.
 
+    ``L_true``: the region's REAL length (the array length L is a padded
+    bucket shape); site-selection strip geometry must use it (see
+    _select_sites_strips_dynamic).  None = the array length.
+
     Returns (site_pos (S,) i32, n_sites () i32, A (R,S) i8, hp (R,) i8,
     sym (2,L) u8, covered (2,L) bool).
     """
     R, L = m.shape
+    if L_true is None:
+        L_true = L
     S = max_sites
     # --- het-site detection over the 5 allele symbols {A,C,G,T,DEL}:
     #     a deleted column is a first-class phasing allele
@@ -235,22 +268,14 @@ def _one_region(
         & (top1 * hi_den <= depth * hi_num)
         & (top1 >= min_minor_count)
     )
-    # strip-based selection: one best-balance site per L/S strip (positional
-    # spread; see phasing/phase.py::select_sites_strips -- bit-identical)
+    # strip-based selection: one best-balance site per L_true/S strip
+    # (positional spread; phasing/phase.py::select_sites_strips --
+    # bit-identical, with strips over the TRUE region length)
     bal = jnp.where(
         is_het,
         top1.astype(jnp.float32) / jnp.maximum(n0 + top1, 1).astype(jnp.float32),
         jnp.float32(-1.0))
-    strip = -(-L // S)
-    pad = S * strip - L
-    bal_p = jnp.concatenate([bal, jnp.full(pad, -1.0, jnp.float32)]) \
-        if pad else bal
-    strips = bal_p.reshape(S, strip)
-    off = jnp.argmax(strips, axis=1)
-    val = jnp.max(strips, axis=1)
-    site_pos = (jnp.arange(S, dtype=jnp.int32) * strip
-                + off.astype(jnp.int32))
-    sel = val > 0
+    site_pos, sel = _select_sites_strips_dynamic(bal, L_true, S)
     # compact selected sites to the front (position order preserved)
     slot0 = jnp.arange(S, dtype=jnp.int32)
     order0 = jnp.argsort(jnp.where(sel, slot0, S + slot0))
@@ -418,7 +443,7 @@ def phase_consensus_batch_packed(
 
 def _one_region_delta(
     ref, starts, ends, rv, sub_pos, sub_read, sub_sym,
-    del_read, del_a, del_b, *,
+    del_read, del_a, del_b, L_true=None, *,
     max_sites, mec_iters, min_site_depth, min_minor_count,
     lo_num, lo_den, hi_num, hi_den,
     purify_window, purify_min_pairs, purify_num, purify_den,
@@ -439,6 +464,8 @@ def _one_region_delta(
     Returns the `_one_region` output tuple.
     """
     L = ref.shape[0]
+    if L_true is None:
+        L_true = L
     R = starts.shape[0]
     S = max_sites
     i32 = jnp.int32
@@ -490,15 +517,7 @@ def _one_region_delta(
         is_het,
         top1.astype(jnp.float32) / jnp.maximum(n0 + top1, 1).astype(jnp.float32),
         jnp.float32(-1.0))
-    strip = -(-L // S)
-    pad = S * strip - L
-    bal_p = jnp.concatenate([bal, jnp.full(pad, -1.0, jnp.float32)]) \
-        if pad else bal
-    strips = bal_p.reshape(S, strip)
-    off = jnp.argmax(strips, axis=1)
-    val = jnp.max(strips, axis=1)
-    site_pos = (jnp.arange(S, dtype=i32) * strip + off.astype(i32))
-    sel = val > 0
+    site_pos, sel = _select_sites_strips_dynamic(bal, L_true, S)
     slot0 = jnp.arange(S, dtype=i32)
     order0 = jnp.argsort(jnp.where(sel, slot0, S + slot0))
     site_pos = jnp.take(site_pos, order0)
@@ -587,6 +606,7 @@ def phase_consensus_delta(
     del_read: jax.Array,     # (G, Ddel) int32 (< 0 on padding)
     del_a: jax.Array,        # (G, Ddel) int32
     del_b: jax.Array,        # (G, Ddel) int32
+    ltrue: jax.Array = None,  # (G,) int32 true region length (None = L)
     *,
     L: int,
     max_sites: int = 512,
@@ -608,12 +628,14 @@ def phase_consensus_delta(
         lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
         purify_window=purify_window, purify_min_pairs=purify_min_pairs,
         purify_num=purify_num, purify_den=purify_den)
+    if ltrue is None:
+        ltrue = jnp.full(ref.shape[0], L, jnp.int32)
 
     def one(*args):
         return jnp.concatenate(_flat_parts(_one_region_delta(*args, **kw), L))
 
     return jax.vmap(one)(ref, starts, ends, read_valid, sub_pos, sub_read,
-                         sub_sym, del_read, del_a, del_b)
+                         sub_sym, del_read, del_a, del_b, ltrue)
 
 
 def _u8_to_i32(seg: jax.Array, *shape: int) -> jax.Array:
@@ -646,6 +668,7 @@ def delta_flat_layout(G: int, R: int, L: int, Ds: int, Dd: int
         ("del_read", G * Dd * 4),
         ("del_a", G * Dd * 4),
         ("del_b", G * Dd * 4),
+        ("ltrue", G * 4),       # true region length (strip geometry)
     ):
         out[name] = (off, off + size)
         off += size
@@ -675,12 +698,15 @@ def pack_delta_chunk(tiles, chunk, G: int, R: int, L: int, Ds: int, Dd: int
     del_read = sect("del_read", np.int32, G, Dd)
     del_a = sect("del_a", np.int32, G, Dd)
     del_b = sect("del_b", np.int32, G, Dd)
+    ltrue = sect("ltrue", np.int32, G)
     sub_read[:] = -1
     del_read[:] = -1
+    ltrue[:] = L
     for g, ti in enumerate(chunk):
         t = tiles[ti]
         Ra = t.row_starts.shape[0]
         La = t.region_len
+        ltrue[g] = La
         ref[g, :La] = np.asarray(t.ref_codes, np.uint8)
         starts[g, :Ra] = t.row_starts
         ends[g, :Ra] = t.row_starts + t.row_lens
@@ -730,6 +756,7 @@ def phase_consensus_delta_flat(
     del_read = _u8_to_i32(seg("del_read"), G, Dd)
     del_a = _u8_to_i32(seg("del_a"), G, Dd)
     del_b = _u8_to_i32(seg("del_b"), G, Dd)
+    ltrue = _u8_to_i32(seg("ltrue"), G)
     kw = dict(
         max_sites=max_sites, mec_iters=mec_iters,
         min_site_depth=min_site_depth, min_minor_count=min_minor_count,
@@ -741,7 +768,7 @@ def phase_consensus_delta_flat(
         return jnp.concatenate(_flat_parts(_one_region_delta(*args, **kw), L))
 
     return jax.vmap(one)(ref, starts, ends, rv, sub_pos, sub_read,
-                         sub_sym, del_read, del_a, del_b)
+                         sub_sym, del_read, del_a, del_b, ltrue)
 
 
 def sharded_phase_consensus_delta_flat(buf, mesh, *, G, R, L, Ds, Dd, **kw):
@@ -759,20 +786,18 @@ def sharded_phase_consensus_delta_flat(buf, mesh, *, G, R, L, Ds, Dd, **kw):
     assert G % n == 0, (G, n)
     Gd = G // n
     lay = delta_flat_layout(G, R, L, Ds, Dd)
-    layd = delta_flat_layout(Gd, R, L, Ds, Dd)
     # slice each G-major section into per-device contiguous blocks and
     # re-concatenate so every device holds a self-contained Gd-layout
     parts = []
     for d in range(n):
         segs = []
         for name in ("ref", "starts", "ends", "rv", "sub_pos", "sub_read",
-                     "sub_sym", "del_read", "del_a", "del_b"):
+                     "sub_sym", "del_read", "del_a", "del_b", "ltrue"):
             a, b = lay[name]
             per = (b - a) // G
             segs.append(buf[a + d * Gd * per : a + (d + 1) * Gd * per])
         parts.append(np.concatenate(segs))
     dev_buf = np.stack(parts)          # (n, bytes_per_device)
-    del layd
     spec = P(DATA_AXIS)
     fn = jax.shard_map(
         lambda bb: phase_consensus_delta_flat(bb[0], G=Gd, R=R, L=L,
@@ -831,6 +856,7 @@ def phase_consensus_rows_packed(
     packed_rows: jax.Array,  # (G, R, W//2) split-half packed compact rows
     row_qstart: jax.Array,   # (G, R) int32 region BLOCK index of each row
     read_valid: jax.Array,   # (G, R) bool
+    ltrue: jax.Array = None,  # (G,) int32 true region length (None = L)
     *,
     L: int,
     W: int,
@@ -861,8 +887,11 @@ def phase_consensus_rows_packed(
         purify_num=purify_num, purify_den=purify_den)
     assert L % BLOCK == 0 and W % BLOCK == 0, (L, W)
     nb_out, nb_in = L // BLOCK, W // BLOCK
+    G = packed_rows.shape[0]
+    if ltrue is None:
+        ltrue = jnp.full(G, L, jnp.int32)
 
-    def one(p, q, rv):
+    def one(p, q, rv, lt):
         rows = _unpack_nibbles(p, W)                       # (R, W)
         R = rows.shape[0]
         rb = rows.reshape(R, nb_in, BLOCK)
@@ -871,18 +900,18 @@ def phase_consensus_rows_packed(
         g = jnp.take_along_axis(
             rb, jnp.clip(idx, 0, nb_in - 1)[..., None], axis=1)
         m = jnp.where(inb[..., None], g, jnp.uint8(NOCOV)).reshape(R, L)
-        return jnp.concatenate(_flat_parts(_one_region(m, rv, **kw), L))
+        return jnp.concatenate(_flat_parts(_one_region(m, rv, lt, **kw), L))
 
-    G = packed_rows.shape[0]
     inner = 8
     if G <= inner or G % inner != 0:
-        return jax.vmap(one)(packed_rows, row_qstart, read_valid)
+        return jax.vmap(one)(packed_rows, row_qstart, read_valid, ltrue)
     # bounded working set: the expanded (inner, R, L) pileups exist for one
     # inner chunk at a time (full-G expansion OOMs HBM on large batches)
     p4 = packed_rows.reshape(G // inner, inner, *packed_rows.shape[1:])
     s4 = row_qstart.reshape(G // inner, inner, row_qstart.shape[1])
     rv4 = read_valid.reshape(G // inner, inner, read_valid.shape[1])
-    out = jax.lax.map(lambda args: jax.vmap(one)(*args), (p4, s4, rv4))
+    l4 = ltrue.reshape(G // inner, inner)
+    out = jax.lax.map(lambda args: jax.vmap(one)(*args), (p4, s4, rv4, l4))
     return out.reshape(G, -1)
 
 
@@ -895,6 +924,7 @@ def rows_flat_layout(G: int, R: int, W: int) -> dict[str, tuple[int, int]]:
         ("rows", G * R * (W // 2)),
         ("qstart", G * R * 4),
         ("rv", G * R),
+        ("ltrue", G * 4),       # true region length (strip geometry)
     ):
         out[name] = (off, off + size)
         off += size
@@ -913,12 +943,15 @@ def pack_rows_chunk(tiles, chunk, G: int, R: int, W: int) -> np.ndarray:
     qstart = buf[a:b].view(np.int32).reshape(G, R)
     a, b = lay["rv"]
     rv = buf[a:b].reshape(G, R)
+    a, b = lay["ltrue"]
+    ltrue = buf[a:b].view(np.int32)
     for g, ti in enumerate(chunk):
         t = tiles[ti]
         Ra = t.nib.shape[0]
         rows[g, :Ra] = t.nib
         qstart[g, :Ra] = t.q_starts
         rv[g, :Ra] = 1
+        ltrue[g] = t.region_len
     return buf
 
 
@@ -949,8 +982,9 @@ def phase_consensus_rows_flat(
     rows = seg("rows").reshape(G, R, W // 2)
     qstart = _u8_to_i32(seg("qstart"), G, R)
     rv = seg("rv").reshape(G, R) != 0
+    ltrue = _u8_to_i32(seg("ltrue"), G)
     return phase_consensus_rows_packed(
-        rows, qstart, rv, L=L, W=W,
+        rows, qstart, rv, ltrue, L=L, W=W,
         max_sites=max_sites, mec_iters=mec_iters,
         min_site_depth=min_site_depth, min_minor_count=min_minor_count,
         lo_num=lo_num, lo_den=lo_den, hi_num=hi_num, hi_den=hi_den,
@@ -971,7 +1005,7 @@ def sharded_phase_consensus_rows_flat(buf, mesh, *, G, R, L, W, **kw):
     parts = []
     for d in range(n):
         segs = []
-        for name in ("rows", "qstart", "rv"):
+        for name in ("rows", "qstart", "rv", "ltrue"):
             a, b = lay[name]
             per = (b - a) // G
             segs.append(buf[a + d * Gd * per : a + (d + 1) * Gd * per])

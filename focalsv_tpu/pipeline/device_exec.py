@@ -124,12 +124,27 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
     from focalsv_tpu.parallel.region_step import BLOCK, pack_row_tile
     R = len(usable)
     L = len(ref_codes)
-    out = native.build_tile_delta(usable, ref_codes, region_start, L)
-    if out is not None:
-        r0, r1, subs, dels, inss = out
+
+    # encoding choice by wire size: deviations (9B/sub + 12B/del run)
+    # vs packed rows (W_pad/2 per read).  Accurate reads compress ~10-40x
+    # as deltas; past ~5% deviation density the dense rows win.  The
+    # threshold needs the spans, so the native builder evaluates it after
+    # its count pass and skips the deviation fill for dense tiles.
+    def dense_cap(r0, r1):
+        offs = r0 % BLOCK
+        return R * (_wbucket(int(((r1 - r0) + offs).max())) // 2)
+
+    out = native.build_tile_delta(usable, ref_codes, region_start, L,
+                                  dense_if_over=dense_cap)
+    if out is not None and out[0] == "delta":
+        _, r0, r1, subs, dels, inss = out
         tile.row_starts = r0
         tile.row_lens = r1 - r0
         tile.subs, tile.dels = subs, dels
+        tile.encoding = "delta"
+    elif out is not None:               # native, high-noise -> dense rows
+        tile.encoding = "dense"
+        inss = None
     else:   # no compiler: Python walk
         from focalsv_tpu.assembly.consensus import compact_pileup_rows
         rows, starts, inss = compact_pileup_rows(
@@ -138,32 +153,29 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
         tile.row_lens = np.array([len(r) for r in rows], np.int32)
         tile.subs, tile.dels = _delta_from_rows(rows, tile.row_starts,
                                                 ref_codes)
+        offs = (tile.row_starts % BLOCK).astype(np.int32)
+        W_pad = _wbucket(int((tile.row_lens + offs).max()) if R else 1)
+        delta_bytes = 9 * tile.subs[0].size + 12 * tile.dels[0].size + 8 * R
+        if delta_bytes <= R * (W_pad // 2):
+            tile.encoding = "delta"
+        else:
+            tile.encoding = "dense"
+            tile.W_pad = W_pad
+            tile.nib = pack_row_tile(rows, W_pad, offsets=offs)
+            tile.q_starts = (tile.row_starts // BLOCK).astype(np.int32)
+    if tile.encoding == "dense" and tile.nib is None:
+        # rows are pre-shifted by start % BLOCK so the device expansion is
+        # a BLOCK-chunk gather (region_step.phase_consensus_rows_packed)
+        rows_out = native.build_tile_rows(usable, region_start, L,
+                                          _wbucket, BLOCK)
+        tile.nib, starts, tile.row_lens, inss, tile.W_pad = rows_out
+        tile.row_starts = starts
+        tile.q_starts = (starts // BLOCK).astype(np.int32)
+    if inss is None:
+        inss = []
     tile.ins_by_read = [[] for _ in usable]
     for pos, mi, seq in inss:
         tile.ins_by_read[mi].append((pos, seq))
-    # encoding choice by wire size: deviations (9B/sub + 12B/del run)
-    # vs packed rows (W_pad/2 per read).  Accurate reads compress ~10-40x
-    # as deltas; past ~5% deviation density the dense rows win.
-    offs = (tile.row_starts % BLOCK).astype(np.int32)
-    W_pad = _wbucket(int((tile.row_lens + offs).max()) if R else 1)
-    delta_bytes = 9 * tile.subs[0].size + 12 * tile.dels[0].size + 8 * R
-    if delta_bytes <= R * (W_pad // 2):
-        tile.encoding = "delta"
-        return tile
-    tile.encoding = "dense"
-    # rows are pre-shifted by start % BLOCK so the device expansion is
-    # a BLOCK-chunk gather (region_step.phase_consensus_rows_packed)
-    out = native.build_tile_rows(usable, region_start, L, _wbucket, BLOCK)
-    if out is not None:
-        tile.nib, starts, tile.row_lens, _inss, tile.W_pad = out
-        tile.row_starts = starts
-    else:
-        from focalsv_tpu.assembly.consensus import compact_pileup_rows
-        rows, starts, _inss = compact_pileup_rows(
-            usable, list(range(R)), region_start, L)
-        tile.W_pad = W_pad
-        tile.nib = pack_row_tile(rows, W_pad, offsets=offs)
-    tile.q_starts = (tile.row_starts // BLOCK).astype(np.int32)
     return tile
 
 

@@ -33,9 +33,13 @@ def _normalize_sigs(sigs, ref_codes, region_start, reads=None) -> None:
     tandem arrays (a whole-unit INS left-aligns to the array start, many
     units away from the raw CIGAR placement -- reference analog:
     both sides of FP_filter_v1.py see minimap2's left-aligning CIGARs).
-    INS alignment needs the inserted sequence, sliced from the source read
-    when ``reads`` is given (skipped when offsets don't resolve, e.g.
-    hard-clipped split segments)."""
+    INS alignment needs the inserted sequence, sliced from the source
+    read when ``reads`` is given; it is only attempted for
+    SINGLE-alignment names -- for a split read the Sigs row does not say
+    which alignment record it came from, and slicing the wrong record
+    (different hard-clip offset, reverse-strand storage) would shift the
+    signature to a wrong canonical position.  Split-read SV evidence
+    flows through the split-geometry route regardless."""
     from focalsv_tpu.signatures.sigs import DEL as _DEL, INS as _INS
     from focalsv_tpu.io.bam import CHARD_CLIP
     from focalsv_tpu.ops.normalize import left_align_ins
@@ -48,22 +52,25 @@ def _normalize_sigs(sigs, ref_codes, region_start, reads=None) -> None:
     for i in range(len(sigs)):
         p = int(sigs.pos[i]) - region_start
         ln = int(sigs.svlen[i])
-        if not (1 <= p and p + ln <= L):
-            continue
         if sigs.svtype[i] == _DEL:
-            sigs.pos[i] = left_align_del(ref_codes, p, ln) + region_start
-        elif sigs.svtype[i] == _INS and reads is not None:
+            # a DEL consumes [p, p+ln) of reference: both ends in range
+            if 1 <= p and p + ln <= L:
+                sigs.pos[i] = left_align_del(ref_codes, p, ln) + region_start
+        elif sigs.svtype[i] == _INS and reads is not None and 1 <= p <= L:
+            # an INS consumes no reference: only p must be in range
             name = sigs.names[int(sigs.contig[i])]
+            recs = by_name.get(name, ())
+            if len(recs) != 1:
+                continue              # split read: ambiguous source record
+            r = recs[0]
             rs, re_ = int(sigs.rstart[i]), int(sigs.rend[i])
-            for r in by_name.get(name, ()):
-                hc = int(r.cigar[0, 1]) if (r.cigar.shape[0]
-                                            and r.cigar[0, 0] == CHARD_CLIP) \
-                    else 0
-                a, b = rs - hc, re_ - hc
-                if 0 <= a < b <= len(r.seq) and b - a == ln:
-                    new_p, _ = left_align_ins(ref_codes, p, r.seq[a:b])
-                    sigs.pos[i] = new_p + region_start
-                    break
+            hc = int(r.cigar[0, 1]) if (r.cigar.shape[0]
+                                        and r.cigar[0, 0] == CHARD_CLIP) \
+                else 0
+            a, b = rs - hc, re_ - hc
+            if 0 <= a < b <= len(r.seq):
+                new_p, _ = left_align_ins(ref_codes, p, r.seq[a:b])
+                sigs.pos[i] = new_p + region_start
 
 
 @dataclass

@@ -203,3 +203,21 @@ def test_forced_dense_encoding_matches_delta():
         rb = dx.process_region_device(dense_tiles[i], out_b.get(i), cfg,
                                       apply_fp_filter=True)
         _assert_region_equal(ra, rb, f"encoding region {i}")
+
+
+def test_high_noise_tile_chooses_dense_and_matches_host():
+    """A tile whose deviation payload exceeds the packed-row payload must
+    take the dense encoding (the native builder skips the deviation fill
+    entirely, build_tile_delta dense_if_over) and still bit-match the
+    host path."""
+    cfg = preset("HIFI")
+    rg = sim.simulate_region(seed=7300, ref_len=6000, coverage=14,
+                             n_snps=8, read_len_mean=2500, sub_rate=0.30)
+    tile = dx.build_tile(rg.reads, rg.ref, 0, rg.chrom, cfg)
+    assert tile.encoding == "dense"
+    assert tile.nib is not None and tile.subs is None
+    host = process_region(rg.reads, rg.ref, 0, rg.chrom, cfg)
+    dev_outs = dx.run_device_step([tile], cfg)
+    dres = dx.process_region_device(tile, dev_outs.get(0), cfg,
+                                    apply_fp_filter=True)
+    _assert_region_equal(host, dres, "high-noise dense")

@@ -271,3 +271,28 @@ def test_eval_grid_search(tmp_path):
     with open(f"{out}/grid_cells.csv") as f:
         cells = list(csvmod.reader(f))
     assert cells[0][0] == "svtype" and len(cells) == 1 + 2 * 4
+
+
+def test_eval_f1_summary_rows(tmp_path):
+    """Figure-3-style per-tool F1 table from protocol output dirs
+    (line_bar_plot data; evaluation/grid.py::f1_summary_rows)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from focalsv_tpu.evaluation import cli as ecli
+    from focalsv_tpu.evaluation.grid import f1_summary_rows
+    from focalsv_tpu.io.vcf import VcfRecord, write_vcf
+
+    truth = [VcfRecord("chr1", 1000, "t", "A" + "G" * 100, "A",
+                       info={"SVTYPE": "DEL", "SVLEN": -100}, gt="0/1")]
+    cp, tp = str(tmp_path / "c.vcf"), str(tmp_path / "t.vcf")
+    write_vcf(cp, truth)
+    write_vcf(tp, truth)
+    out = str(tmp_path / "proto")
+    with redirect_stdout(io.StringIO()):
+        assert ecli.main(["protocol", "--call", cp, "--truth", tp,
+                          "--out_dir", out]) == 0
+    rows = f1_summary_rows({"focalsv_tpu": out})
+    assert rows[0] == ["tool", "svtype", "recall", "precision", "f1"]
+    by = {(r[0], r[1]): r[4] for r in rows[1:]}
+    assert by[("focalsv_tpu", "DEL")] == "1.0"
