@@ -80,7 +80,9 @@ def run_device_mode(jobs, cfg, workers: int, repeats: int = 2):
                                   stats=stats)
         return sum(len(r.records) for r in res)
 
-    one_pass()                      # untimed: compiles + warms every bucket
+    t0 = time.perf_counter()
+    one_pass()                      # compiles + warms every bucket
+    cold_s = time.perf_counter() - t0
     # best-of-N timed passes: the tunneled test device shows large
     # run-to-run session variance (grant queueing, remote relay load);
     # every pass processes the full region set, so the best pass is an
@@ -93,6 +95,7 @@ def run_device_mode(jobs, cfg, workers: int, repeats: int = 2):
         dt = time.perf_counter() - t0
         if best is None or dt < best[0]:
             best = (dt, n_records, stats)
+    best[2]["cold_s"] = cold_s
     return best
 
 
@@ -299,7 +302,9 @@ def main():
           f"{st.get('n_chunks', 0)} chunks, "
           f"h2d {st.get('h2d_bytes', 0) / 1e6:.1f} MB, "
           f"d2h {st.get('d2h_bytes', 0) / 1e6:.1f} MB, "
-          f"{st.get('n_host_fallback', 0)} host-fallback tiles",
+          f"{st.get('n_host_fallback', 0)} host-fallback tiles; "
+          f"cold first pass (incl. compiles / cache load) "
+          f"{st.get('cold_s', 0):.1f}s",
           file=sys.stderr)
     print(f"# measured CPU baseline (this framework's host mode, "
           f"{args.workers} workers, JAX_PLATFORMS=cpu): "

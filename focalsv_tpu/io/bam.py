@@ -183,6 +183,10 @@ class BamRecord:
     next_ref_id: int = -1
     next_pos: int = -1
     tlen: int = 0
+    # reference_end memo: (id(cigar), ref_len) -- keyed by cigar array
+    # identity so dataclasses.replace(...) and cigar reassignment stay
+    # correct, and independent of pos
+    _refend_memo: tuple = field(default=(0, 0), repr=False, compare=False)
 
     @property
     def is_unmapped(self) -> bool:
@@ -208,8 +212,11 @@ class BamRecord:
     def reference_end(self) -> int:
         if self.cigar.shape[0] == 0:
             return self.pos
-        ref_len = int(self.cigar[CONSUMES_REF[self.cigar[:, 0]], 1].sum())
-        return self.pos + ref_len
+        key = id(self.cigar)
+        if self._refend_memo[0] != key:
+            ref_len = int(self.cigar[CONSUMES_REF[self.cigar[:, 0]], 1].sum())
+            self._refend_memo = (key, ref_len)
+        return self.pos + self._refend_memo[1]
 
     def cigar_string(self) -> str:
         return "".join(f"{int(l)}{_CIGAR_CHARS[int(op)]}" for op, l in self.cigar)
