@@ -167,10 +167,27 @@ def find_overlaps(
                 if ra >= rb:
                     continue
                 votes.setdefault((ra, rb), []).append(pa - pb)
-    overlaps: list[Overlap] = []
-    for (ra, rb), diffs in votes.items():
+    # cap DP-verified candidates per read at the strongest-evidence pairs
+    # (hifiasm caps per-read overlaps the same way): the O(olp*band)
+    # verifies dominated large-region OLC wall time.  Applied only to
+    # LARGE read sets -- on small noisy groups (tandem-repeat regions at
+    # ~50 reads) the weak-tail edges still carry real layout signal and
+    # capping measurably cost ONT repeat recall.
+    max_per_read = 12 if len(seqs) > 100 else len(seqs)
+    by_votes = sorted(votes.items(), key=lambda kv: -len(kv[1]))
+    per_read: dict[int, int] = {}
+    kept: list[tuple[tuple[int, int], list[int]]] = []
+    for (ra, rb), diffs in by_votes:
         if len(diffs) < min_shared:
             continue
+        if per_read.get(ra, 0) >= max_per_read \
+                and per_read.get(rb, 0) >= max_per_read:
+            continue
+        per_read[ra] = per_read.get(ra, 0) + 1
+        per_read[rb] = per_read.get(rb, 0) + 1
+        kept.append(((ra, rb), diffs))
+    overlaps: list[Overlap] = []
+    for (ra, rb), diffs in kept:
         shift = _mode_shift(diffs)      # rb's start in ra coordinates
         la, lb = len(seqs[ra]), len(seqs[rb])
         # orient: positive shift -> b hangs off a's right end
