@@ -172,29 +172,39 @@ def find_overlaps(
     # verifies dominated large-region OLC wall time.  Applied only to
     # LARGE read sets -- on small noisy groups (tandem-repeat regions at
     # ~50 reads) the weak-tail edges still carry real layout signal and
-    # capping measurably cost ONT repeat recall.
-    max_per_read = 12 if len(seqs) > 100 else len(seqs)
-    by_votes = sorted(votes.items(), key=lambda kv: -len(kv[1]))
-    per_read: dict[int, int] = {}
+    # capping measurably cost ONT repeat recall; the ordering change is
+    # scoped inside the branch so small sets keep r3's emission order.
+    # Pairs failing the cheap min_olp gate never consume cap budget (a
+    # read whose strongest-vote pairs are all short edge dovetails must
+    # not lose its verifiable partners to them).
+    def cheap_olp(ra, rb, diffs):
+        shift = _mode_shift(diffs)
+        la, lb = len(seqs[ra]), len(seqs[rb])
+        olp = min(la - shift, lb) if shift >= 0 else min(lb + shift, la)
+        return shift, olp
+
     kept: list[tuple[tuple[int, int], list[int]]] = []
-    for (ra, rb), diffs in by_votes:
-        if len(diffs) < min_shared:
-            continue
-        if per_read.get(ra, 0) >= max_per_read \
-                and per_read.get(rb, 0) >= max_per_read:
-            continue
-        per_read[ra] = per_read.get(ra, 0) + 1
-        per_read[rb] = per_read.get(rb, 0) + 1
-        kept.append(((ra, rb), diffs))
+    if len(seqs) > 100:
+        max_per_read = 12
+        per_read: dict[int, int] = {}
+        for (ra, rb), diffs in sorted(votes.items(),
+                                      key=lambda kv: -len(kv[1])):
+            if len(diffs) < min_shared:
+                continue
+            if cheap_olp(ra, rb, diffs)[1] < min_olp:
+                continue
+            if per_read.get(ra, 0) >= max_per_read \
+                    and per_read.get(rb, 0) >= max_per_read:
+                continue
+            per_read[ra] = per_read.get(ra, 0) + 1
+            per_read[rb] = per_read.get(rb, 0) + 1
+            kept.append(((ra, rb), diffs))
+    else:
+        kept = [kv for kv in votes.items() if len(kv[1]) >= min_shared]
     overlaps: list[Overlap] = []
     for (ra, rb), diffs in kept:
-        shift = _mode_shift(diffs)      # rb's start in ra coordinates
+        shift, olp = cheap_olp(ra, rb, diffs)
         la, lb = len(seqs[ra]), len(seqs[rb])
-        # orient: positive shift -> b hangs off a's right end
-        if shift >= 0:
-            olp = min(la - shift, lb)
-        else:
-            olp = min(lb + shift, la)
         if olp < min_olp:
             continue
         # verify the implied overlap with banded DP

@@ -118,17 +118,19 @@ def cmd_protocol(args) -> int:
                                f1=round(b.f1, 4))
     out_csv = os.path.join(args.out_dir, "Truvari_results.csv")
     with open(out_csv, "w", newline="") as f:
-        # provenance marker: these are this framework's IN-PROCESS
-        # protocol-analog numbers (evaluation/compare.py matcher with the
-        # reference thresholds), NOT output of the truvari binary --
-        # consumers of the reference parser's row order skip '#' lines
-        f.write("# focalsv-tpu eval protocol (in-process Truvari-protocol"
-                " analog; truvari itself was not run)\n")
+        # the CSV itself stays byte-compatible with the reference
+        # parser's row order (no comment lines: its plotting consumers
+        # don't skip them); provenance goes to a sidecar + the JSON
         w = csv.writer(f)
         names = list(cols)
         w.writerow(["metric"] + names)
         for i, key in enumerate(RESULT_KEYS):
             w.writerow([key] + [cols[n][i] for n in names])
+    with open(out_csv + ".PROVENANCE.txt", "w") as f:
+        f.write("Produced by focalsv-tpu `eval protocol`: an IN-PROCESS "
+                "Truvari-protocol analog (evaluation/compare.py matcher "
+                "with the reference thresholds).  The truvari binary was "
+                "NOT run; do not present these as truvari output.\n")
     print(json.dumps({"results": summary, "table": out_csv,
                       "provenance": "in-process protocol analog"}, indent=2))
     return 0

@@ -183,10 +183,12 @@ class BamRecord:
     next_ref_id: int = -1
     next_pos: int = -1
     tlen: int = 0
-    # reference_end memo: (id(cigar), ref_len) -- keyed by cigar array
-    # identity so dataclasses.replace(...) and cigar reassignment stay
-    # correct, and independent of pos
-    _refend_memo: tuple = field(default=(0, 0), repr=False, compare=False)
+    # reference_end memo: (cigar array ref, ref_len) -- the STRONG
+    # reference makes the `is` identity check safe (an id()-keyed memo
+    # could false-hit when a reassigned cigar's freed address is reused
+    # by a later allocation); independent of pos, correct under
+    # dataclasses.replace and cigar reassignment
+    _refend_memo: tuple = field(default=(None, 0), repr=False, compare=False)
 
     @property
     def is_unmapped(self) -> bool:
@@ -212,10 +214,9 @@ class BamRecord:
     def reference_end(self) -> int:
         if self.cigar.shape[0] == 0:
             return self.pos
-        key = id(self.cigar)
-        if self._refend_memo[0] != key:
+        if self._refend_memo[0] is not self.cigar:
             ref_len = int(self.cigar[CONSUMES_REF[self.cigar[:, 0]], 1].sum())
-            self._refend_memo = (key, ref_len)
+            self._refend_memo = (self.cigar, ref_len)
         return self.pos + self._refend_memo[1]
 
     def cigar_string(self) -> str:

@@ -189,43 +189,38 @@ def parse_records_batch(data) -> tuple | None:
 
 
 def build_tile_rows(recs, region_start: int, region_len: int,
-                    wbucket, block: int):
+                    wbucket, block: int, spans=None):
     """Native compact pileup rows + split-half nibble pack in one pass.
 
     Bit-identical to assembly/consensus.py::compact_pileup_rows followed
     by region_step.pack_row_tile.  Returns (nib (R, W_pad/2) u8, starts
     (R,) i32, lens (R,) i32, inss [(rpos, read_idx, seq u8)], W_pad), or
-    None when the native library is unavailable."""
+    None when the native library is unavailable.
+
+    ``spans``: optional (r0, r1, n_ins, ins_seq_total) from a prior count
+    pass (build_tile_delta's dense verdict hands its own through) --
+    skips the tile_spans CIGAR walk."""
     lib = get_parse_lib()
     if lib is None or not recs:
         return None
     R = len(recs)
-    cig_ptrs = np.empty(R, np.int64)
-    seq_ptrs = np.empty(R, np.int64)
-    n_cigs = np.empty(R, np.int32)
-    poss = np.empty(R, np.int32)
-    keep = []
-    for i, r in enumerate(recs):
-        cig = r.cigar
-        if not cig.flags.c_contiguous or cig.dtype != np.int32:
-            cig = np.ascontiguousarray(cig, np.int32)
-        seq = r.seq
-        if not seq.flags.c_contiguous or seq.dtype != np.uint8:
-            seq = np.ascontiguousarray(seq, np.uint8)
-        keep.append((cig, seq))
-        cig_ptrs[i] = cig.ctypes.data
-        n_cigs[i] = cig.shape[0]
-        seq_ptrs[i] = seq.ctypes.data
-        poss[i] = r.pos
+    cig_ptrs, seq_ptrs, n_cigs, poss, keep = _delta_ptr_arrays(recs)
     P32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
     P64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     P8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))   # noqa: E731
-    r0 = np.empty(R, np.int32)
-    r1 = np.empty(R, np.int32)
-    seq_total = ctypes.c_int64(0)
-    n_ins = int(lib.tile_spans(P64(cig_ptrs), P32(n_cigs), P32(poss), R,
-                               region_start, region_len,
-                               P32(r0), P32(r1), ctypes.byref(seq_total)))
+    if spans is not None:
+        r0, r1, n_ins, st = spans
+        r0 = np.ascontiguousarray(r0, np.int32)
+        r1 = np.ascontiguousarray(r1, np.int32)
+        seq_total = ctypes.c_int64(int(st))
+    else:
+        r0 = np.empty(R, np.int32)
+        r1 = np.empty(R, np.int32)
+        seq_total = ctypes.c_int64(0)
+        n_ins = int(lib.tile_spans(P64(cig_ptrs), P32(n_cigs), P32(poss), R,
+                                   region_start, region_len,
+                                   P32(r0), P32(r1),
+                                   ctypes.byref(seq_total)))
     lens = r1 - r0
     offs = r0 % block
     W_pad = wbucket(int((lens + offs).max()) if R else 1)
@@ -305,7 +300,9 @@ def build_tile_delta(recs, ref_codes: np.ndarray, region_start: int,
         cap = dense_if_over(r0, r1) if callable(dense_if_over) \
             else dense_if_over
         if 9 * n_subs + 12 * n_dels + 8 * R > cap:
-            return ("dense", r0, r1)
+            # hand the count pass's spans + insertion totals to the dense
+            # builder so it can skip its own tile_spans walk
+            return ("dense", r0, r1, n_ins, seq_total)
     sub_pos = np.empty(n_subs, np.int32)
     sub_read = np.empty(n_subs, np.int32)
     sub_sym = np.empty(n_subs, np.uint8)

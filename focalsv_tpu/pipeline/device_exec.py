@@ -136,6 +136,7 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
 
     out = native.build_tile_delta(usable, ref_codes, region_start, L,
                                   dense_if_over=dense_cap)
+    dense_spans = None
     if out is not None and out[0] == "delta":
         _, r0, r1, subs, dels, inss = out
         tile.row_starts = r0
@@ -144,6 +145,7 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
         tile.encoding = "delta"
     elif out is not None:               # native, high-noise -> dense rows
         tile.encoding = "dense"
+        dense_spans = out[1:]           # (r0, r1, n_ins, ins_seq_total)
         inss = None
     else:   # no compiler: Python walk
         from focalsv_tpu.assembly.consensus import compact_pileup_rows
@@ -165,9 +167,11 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
             tile.q_starts = (tile.row_starts // BLOCK).astype(np.int32)
     if tile.encoding == "dense" and tile.nib is None:
         # rows are pre-shifted by start % BLOCK so the device expansion is
-        # a BLOCK-chunk gather (region_step.phase_consensus_rows_packed)
+        # a BLOCK-chunk gather (region_step.phase_consensus_rows_packed);
+        # the delta count pass's spans skip the tile_spans re-walk
         rows_out = native.build_tile_rows(usable, region_start, L,
-                                          _wbucket, BLOCK)
+                                          _wbucket, BLOCK,
+                                          spans=dense_spans)
         tile.nib, starts, tile.row_lens, inss, tile.W_pad = rows_out
         tile.row_starts = starts
         tile.q_starts = (starts // BLOCK).astype(np.int32)

@@ -33,16 +33,31 @@ def _normalize_sigs(sigs, ref_codes, region_start, reads=None) -> None:
     tandem arrays (a whole-unit INS left-aligns to the array start, many
     units away from the raw CIGAR placement -- reference analog:
     both sides of FP_filter_v1.py see minimap2's left-aligning CIGARs).
-    INS alignment needs the inserted sequence, sliced from the source
-    read when ``reads`` is given; it is only attempted for
-    SINGLE-alignment names -- for a split read the Sigs row does not say
-    which alignment record it came from, and slicing the wrong record
-    (different hard-clip offset, reverse-strand storage) would shift the
-    signature to a wrong canonical position.  Split-read SV evidence
-    flows through the split-geometry route regardless."""
+    INS alignment needs the inserted sequence, sliced from the SOURCE
+    record: for a split read the Sigs row does not say which alignment it
+    came from, so the record is identified exactly -- the one whose CIGAR
+    carries an INS op of this length at this full-read query offset
+    (slicing the wrong record, with a different hard-clip offset or
+    reverse-strand storage, would shift the signature to a wrong
+    canonical position)."""
     from focalsv_tpu.signatures.sigs import DEL as _DEL, INS as _INS
-    from focalsv_tpu.io.bam import CHARD_CLIP
+    from focalsv_tpu.io.bam import CHARD_CLIP, CINS, CONSUMES_QUERY
     from focalsv_tpu.ops.normalize import left_align_ins
+
+    def ins_source(recs, rs: int, ln: int):
+        """The record whose CIGAR has an INS of length ln at full-read
+        query offset rs (hard clips included), or None."""
+        for r in recs:
+            q = 0
+            for op, olen in r.cigar:
+                if op == CINS and q == rs and olen == ln:
+                    return r
+                if CONSUMES_QUERY[op] or op == CHARD_CLIP:
+                    q += int(olen)
+                if q > rs:
+                    break
+        return None
+
     by_name: dict[str, list] = {}
     if reads is not None:
         for r in reads:
@@ -59,11 +74,12 @@ def _normalize_sigs(sigs, ref_codes, region_start, reads=None) -> None:
         elif sigs.svtype[i] == _INS and reads is not None and 1 <= p <= L:
             # an INS consumes no reference: only p must be in range
             name = sigs.names[int(sigs.contig[i])]
-            recs = by_name.get(name, ())
-            if len(recs) != 1:
-                continue              # split read: ambiguous source record
-            r = recs[0]
             rs, re_ = int(sigs.rstart[i]), int(sigs.rend[i])
+            if re_ - rs != ln:
+                continue              # not a CIGAR-INS-shaped signature
+            r = ins_source(by_name.get(name, ()), rs, ln)
+            if r is None:
+                continue
             hc = int(r.cigar[0, 1]) if (r.cigar.shape[0]
                                         and r.cigar[0, 0] == CHARD_CLIP) \
                 else 0

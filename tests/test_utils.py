@@ -170,11 +170,11 @@ def test_eval_filter_and_protocol(tmp_path):
                                          precision=1.0, f1=0.6667)
     assert out["results"]["INS"]["tp"] == 2
     with open(out["table"]) as f:
-        lines = f.read().splitlines()
-    # provenance marker first: the numbers are the in-process protocol
-    # analog, not truvari binary output
-    assert lines[0].startswith("#") and "not run" in lines[0]
-    table = list(csvmod.reader(lines[1:]))
+        table = list(csvmod.reader(f))
+    # CSV stays byte-compatible with the reference parser (no comment
+    # rows); provenance lives in the sidecar
+    with open(out["table"] + ".PROVENANCE.txt") as f:
+        assert "NOT run" in f.read()
     assert table[0] == ["metric", "INS_50_", "DEL_50_"]
     assert [row[0] for row in table[1:]] == ecli.RESULT_KEYS
     # DEL column: TP-call=1, FP=0, FN=1
