@@ -70,7 +70,8 @@ def paired_sig_to_vcf(
     """Attach sequences and build VCF records (add_seq_to_sig :598-631)."""
     contigs = dict(contigs_hp1)
     contigs.update(contigs_hp2)
-    from focalsv_tpu.ops.normalize import left_align_del, left_align_ins
+    from focalsv_tpu.ops.normalize import (left_align_del,
+                                           left_align_ins_approx)
     records: list[VcfRecord] = []
     counters = {DEL: 0, INS: 0}
     for sig in paired:
@@ -102,7 +103,7 @@ def paired_sig_to_vcf(
             ins_seq = stored[sig.rstart : sig.rend]
             if len(ins_seq) == 0:
                 continue
-            pos0, ins_seq = left_align_ins(ref, pos0, ins_seq)
+            pos0, ins_seq = left_align_ins_approx(ref, pos0, ins_seq)
             anchor = enc.decode(ref[pos0 - 1 : pos0])
             ref_allele = anchor
             alt_allele = anchor + enc.decode(ins_seq)

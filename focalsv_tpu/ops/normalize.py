@@ -35,3 +35,39 @@ def left_align_ins(ref: np.ndarray, pos: int, seq: np.ndarray,
         s = np.concatenate([s[-1:], s[:-1]])
         p -= 1
     return p, s
+
+
+def left_align_ins_approx(ref: np.ndarray, pos: int, seq: np.ndarray,
+                          max_shift: int = 10_000,
+                          min_dup_sim: float = 0.7) -> tuple[int, np.ndarray]:
+    """Noise-tolerant left-alignment for duplication-type insertions.
+
+    The exact rotation (left_align_ins) stops at the FIRST base where the
+    inserted sequence disagrees with the upstream reference -- one
+    residual consensus error in a noisy-read contig strands a tandem-array
+    expansion mid-array, hundreds of bases from the canonical position
+    every other representation (truth, read signatures, the other
+    haplotype) reaches, and shift-bounded matching then breaks.
+
+    When the insertion is a near-copy of the adjacent reference (edit
+    similarity >= min_dup_sim -- the tandem-expansion signature), its
+    equivalent placements are exactly the positions where the REFERENCE
+    is locally len(seq)-periodic, so the walk can continue on ref-only
+    comparisons, which the sequencing noise cannot touch.  Reduces to
+    left_align_ins for clean sequences (the exact rotation already
+    reaches the array start) and leaves non-duplication insertions
+    untouched.  The returned sequence is the exact-rotation form; only
+    the position canonicalizes further.
+    """
+    p, s = left_align_ins(ref, pos, seq, max_shift)
+    n = len(s)
+    a = p - n
+    if n == 0 or a < 0 or p + n > len(ref):
+        return p, s
+    from focalsv_tpu.ops.align import edit_similarity
+    if edit_similarity(s, ref[a:p]) < min_dup_sim:
+        return p, s
+    lo = max(1, p - max_shift)
+    while p > lo and ref[p - 1] == ref[p + n - 1]:
+        p -= 1
+    return p, s

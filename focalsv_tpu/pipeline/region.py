@@ -42,7 +42,7 @@ def _normalize_sigs(sigs, ref_codes, region_start, reads=None) -> None:
     canonical position)."""
     from focalsv_tpu.signatures.sigs import DEL as _DEL, INS as _INS
     from focalsv_tpu.io.bam import CHARD_CLIP, CINS, CONSUMES_QUERY
-    from focalsv_tpu.ops.normalize import left_align_ins
+    from focalsv_tpu.ops.normalize import left_align_ins_approx
 
     def ins_source(recs, rs: int, ln: int):
         """The record whose CIGAR has an INS of length ln at full-read
@@ -85,7 +85,7 @@ def _normalize_sigs(sigs, ref_codes, region_start, reads=None) -> None:
                 else 0
             a, b = rs - hc, re_ - hc
             if 0 <= a < b <= len(r.seq):
-                new_p, _ = left_align_ins(ref_codes, p, r.seq[a:b])
+                new_p, _ = left_align_ins_approx(ref_codes, p, r.seq[a:b])
                 sigs.pos[i] = new_p + region_start
 
 

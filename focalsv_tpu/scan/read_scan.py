@@ -212,7 +212,8 @@ def normalize_scan_result(scan: "ScanResult", ref_codes: np.ndarray,
     the reference, INS via their carried sequence -- so shift-bounded
     matching (FP filter, GT correction, draft-call comparison) sees the
     same canonical coordinates as the normalized calls."""
-    from focalsv_tpu.ops.normalize import left_align_del, left_align_ins
+    from focalsv_tpu.ops.normalize import (left_align_del,
+                                           left_align_ins_approx)
     L = len(ref_codes)
     for s in scan.del_sigs:
         p = s.pos - offset
@@ -221,7 +222,7 @@ def normalize_scan_result(scan: "ScanResult", ref_codes: np.ndarray,
     for s in scan.ins_sigs:
         p = s.pos - offset
         if s.seq is not None and len(s.seq) == s.length and 1 <= p <= L:
-            new_p, new_seq = left_align_ins(ref_codes, p, s.seq)
+            new_p, new_seq = left_align_ins_approx(ref_codes, p, s.seq)
             s.pos = new_p + offset
             s.seq = new_seq
     scan.del_sigs.sort(key=lambda s: s.pos)

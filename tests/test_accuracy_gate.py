@@ -44,7 +44,7 @@ def _run(dtype: str, case: str, seeds,
 
 @pytest.mark.parametrize("mode", ["host", "device"])
 @pytest.mark.parametrize("case,min_f1", [
-    ("basic", 1.0), ("nested", 1.0), ("dropout", 1.0), ("repeat", 0.85),
+    ("basic", 1.0), ("nested", 1.0), ("dropout", 1.0), ("repeat", 1.0),
 ])
 def test_hifi_accuracy_floor(case, min_f1, mode):
     tp, fp, fn = _run("HIFI", case, [4000 + 97 * i for i in range(4)],
