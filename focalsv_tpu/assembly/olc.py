@@ -183,7 +183,7 @@ def find_overlaps(
         olp = min(la - shift, lb) if shift >= 0 else min(lb + shift, la)
         return shift, olp
 
-    kept: list[tuple[tuple[int, int], list[int]]] = []
+    kept: list[tuple[int, int, int, int]] = []   # (ra, rb, shift, olp)
     if len(seqs) > 100:
         max_per_read = 12
         per_read: dict[int, int] = {}
@@ -191,19 +191,23 @@ def find_overlaps(
                                       key=lambda kv: -len(kv[1])):
             if len(diffs) < min_shared:
                 continue
-            if cheap_olp(ra, rb, diffs)[1] < min_olp:
+            shift, olp = cheap_olp(ra, rb, diffs)
+            if olp < min_olp:
                 continue
             if per_read.get(ra, 0) >= max_per_read \
                     and per_read.get(rb, 0) >= max_per_read:
                 continue
             per_read[ra] = per_read.get(ra, 0) + 1
             per_read[rb] = per_read.get(rb, 0) + 1
-            kept.append(((ra, rb), diffs))
+            kept.append((ra, rb, shift, olp))
     else:
-        kept = [kv for kv in votes.items() if len(kv[1]) >= min_shared]
+        for (ra, rb), diffs in votes.items():
+            if len(diffs) < min_shared:
+                continue
+            shift, olp = cheap_olp(ra, rb, diffs)
+            kept.append((ra, rb, shift, olp))
     overlaps: list[Overlap] = []
-    for (ra, rb), diffs in kept:
-        shift, olp = cheap_olp(ra, rb, diffs)
+    for ra, rb, shift, olp in kept:
         la, lb = len(seqs[ra]), len(seqs[rb])
         if olp < min_olp:
             continue

@@ -534,15 +534,22 @@ class BamReader:
             data = bytes(buf)
             parsed = native.parse_records_batch(data)
             if parsed is None:
-                # distinguish "first record larger than the slab" from a
-                # corrupt length prefix: an invalid block_size would
-                # otherwise double the slab forever, buffering the whole
-                # remaining stream before silently dropping the tail
+                # distinguish "first record larger than the slab" from
+                # CORRUPTION: an invalid length prefix, or inner fields
+                # that don't fit the block (the native parser's
+                # rec_fields_fit refusal) -- either would otherwise be
+                # misread as an incomplete record, silently truncating
+                # the stream (or doubling the slab to the 1 GiB cap)
                 (sz,) = struct.unpack_from("<i", data, 0) \
                     if len(data) >= 4 else (0,)
                 if sz < 32 or sz > (1 << 29):
                     raise ValueError(
                         f"corrupt BAM record length prefix: {sz}")
+                if len(data) >= 4 + sz:
+                    # the full record is buffered yet the parser refused
+                    # it: the variable-length fields are corrupt
+                    raise ValueError(
+                        "corrupt BAM record: fields exceed block_size")
                 if exhausted:
                     return      # trailing partial record
                 slab = max(slab * 2, len(buf) * 2)   # record bigger than slab

@@ -56,8 +56,11 @@ def left_align_ins_approx(ref: np.ndarray, pos: int, seq: np.ndarray,
     comparisons, which the sequencing noise cannot touch.  Reduces to
     left_align_ins for clean sequences (the exact rotation already
     reaches the array start) and leaves non-duplication insertions
-    untouched.  The returned sequence is the exact-rotation form; only
-    the position canonicalizes further.
+    untouched.  The returned sequence is rotated THROUGH THE REFERENCE
+    for the approx-shifted span (X' = ref[p_new:p_old] + X[:n-k], the
+    exact-equivalence rotation under the duplication assumption), so the
+    (POS, ALT) pair stays a self-consistent representation at the
+    canonical position.
     """
     p, s = left_align_ins(ref, pos, seq, max_shift)
     n = len(s)
@@ -68,6 +71,11 @@ def left_align_ins_approx(ref: np.ndarray, pos: int, seq: np.ndarray,
     if edit_similarity(s, ref[a:p]) < min_dup_sim:
         return p, s
     lo = max(1, p - max_shift)
+    p0 = p
     while p > lo and ref[p - 1] == ref[p + n - 1]:
         p -= 1
+    k = p0 - p
+    if k:
+        s = (np.concatenate([ref[p:p0], s[: n - k]]).astype(np.uint8)
+             if k < n else np.asarray(ref[p : p + n], np.uint8).copy())
     return p, s

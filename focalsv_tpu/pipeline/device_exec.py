@@ -231,10 +231,14 @@ def _bucket_key(tile: RegionTile, cfg: PipelineConfig) -> tuple | None:
 def _batch_size(key: tuple, cfg: PipelineConfig, n_devices: int) -> int:
     ex = cfg.execution
     if key[0] == "delta":
-        # the delta kernel's working set is O(L) per region (counts/vote
-        # tables), not O(R*L): larger batches per dispatch amortize the
-        # per-chunk round-trip cost of the tunneled link
-        per_region = key[2] * 64
+        # the delta kernel's working set per region: O(L) count/vote
+        # tables PLUS the (Ddel, S) deletion-site membership product and
+        # the (R, S) allele-matrix family -- a del-run-heavy noisy tile
+        # can make the Ddel term dominate, and pricing only L would OOM
+        # HBM at the raised batch cap
+        S = cfg.phasing.max_sites
+        _, Rp, Lp, _Ds, Dd = key
+        per_region = Lp * 64 + Dd * S * 4 + Rp * S * 12
         cap = 4 * ex.max_regions_per_batch
     else:
         # budget on the expanded (R, L) working set -- the HBM bound, not

@@ -174,3 +174,45 @@ def test_native_libraries_build():
     assert native.get_lib() is not None, "chain.cpp failed to build"
     assert native.get_parse_lib() is not None, "bamparse.cpp failed to build"
     assert native.get_scan_lib() is not None, "bamscan.cpp failed to build"
+
+
+def test_bam_midstream_corruption_raises(tmp_path):
+    """A record whose length prefix is valid but whose inner fields are
+    corrupt (negative l_seq) must raise, not silently truncate the record
+    stream after the corruption point (review finding, round 4)."""
+    import gzip
+    import struct as structmod
+
+    import numpy as np
+
+    from focalsv_tpu.io import bam as bamio
+
+    p = str(tmp_path / "c.bam")
+    w = BamWriter(p, ["chr1"], [10_000])
+    for i in range(3):
+        w.write(BamRecord(
+            name=f"r{i}", flag=0, ref_id=0, pos=100 * i, mapq=60,
+            cigar=np.array([[0, 50]], np.int32),
+            seq=np.zeros(50, np.uint8), qual=np.full(50, 30, np.uint8)))
+    w.close()
+    bamio.build_bai(p)
+    # decompress the whole BGZF payload, find the middle record, corrupt
+    # its l_seq field (offset 16 within the record body), re-write as one
+    # plain BGZF-style stream via the writer's own codec
+    rd = BamReader(p)
+    data = bytearray()
+    for chunk in rd.bgzf.stream_from(0):
+        data.extend(chunk)
+    body = data[rd._data_start_ubytes:]
+    (sz0,) = structmod.unpack_from("<i", body, 0)
+    rec1_off = 4 + sz0
+    structmod.pack_into("<i", body, rec1_off + 16, -5)   # l_seq = -5
+    # rebuild a BAM file with the corrupted payload
+    import focalsv_tpu.io.bam as bm
+    p2 = str(tmp_path / "c2.bam")
+    with open(p2, "wb") as f:
+        f.write(bm._bgzf_compress_block(
+            bytes(data[: rd._data_start_ubytes]) + bytes(body)))
+        f.write(bm.BGZF_EOF)
+    with pytest.raises(ValueError, match="corrupt BAM record"):
+        list(BamReader(p2))
