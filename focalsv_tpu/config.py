@@ -225,13 +225,13 @@ class ExecutionConfig:
     """
 
     mode: str = "device"                # "device" | "host"
-    # HBM working-set budget per device dispatch (bytes of pileup tile;
-    # the kernel's lax.map bounds the live expansion to 8 regions at a
-    # time, so this caps the *transfer* batch).  G=16 measured best on the
-    # tunneled v5e with the BLOCK-gather kernel (r3): ~15% over G=8 on
-    # small buckets, flat above; no large-result d2h pathology observed
-    # (r2's 122s/3.5MB measurement did not reproduce post-rework)
-    batch_bytes: int = 256 << 20
+    # HBM working-set budget per device dispatch (priced per encoding in
+    # device_exec._batch_size; the dense kernel's lax.map bounds the live
+    # expansion to 8 regions at a time, so for dense tiles this caps the
+    # *transfer* batch).  512 MB is ~3% of a v5e's HBM -- large batches
+    # amortize the tunneled link's per-chunk round trips (r4: chunk count
+    # is the dominant device-window term after the delta encoding)
+    batch_bytes: int = 512 << 20
     max_regions_per_batch: int = 16
     # tiles above these bounds fall back to the host per-region path
     max_tile_reads: int = 1024
