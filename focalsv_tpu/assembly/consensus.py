@@ -245,7 +245,23 @@ def stitch_contig_segments(
     AlignConfig.chain_max_gap, so split-alignment SV geometry is preserved).
     Empty when the contig has no reference-anchored bases (caller falls back
     to the real aligner).
+
+    The hot path runs in native C++ (native/bamparse.cpp::stitch_segments,
+    bit-parity contract enforced by tests/test_consensus.py); this Python
+    body is the reference implementation and the no-compiler fallback.
     """
+    from focalsv_tpu import native
+    out = native.stitch_segments(sym, cov, ins_at, max_gap)
+    if out is not None:
+        return out
+    return _stitch_contig_segments_py(sym, cov, ins_at, max_gap)
+
+
+def _stitch_contig_segments_py(
+    sym: np.ndarray, cov: np.ndarray, ins_at: dict[int, np.ndarray],
+    max_gap: int = 10_000,
+) -> tuple[np.ndarray | None, list[tuple[int, list[tuple[int, int]]]]]:
+    """Pure-Python stitch_contig_segments (reference implementation)."""
     take = sym < 4  # A/C/G/T columns (N, DEL, or NOCOV are skipped)
     covered = cov > 0
     emit_base = take & covered

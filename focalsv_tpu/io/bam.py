@@ -320,21 +320,32 @@ def records_from_batch(data, parsed) -> list[BamRecord]:
     rid, pos, mapq, flag = (fixed["ref_id"], fixed["pos"], fixed["mapq"],
                             fixed["flag"])
     nref, npos, tl = fixed["next_ref"], fixed["next_pos"], fixed["tlen"]
+    # batch reference_end: one vectorized pass over the shared cigar
+    # columns fills every record's memo (the per-record fancy-index sum in
+    # BamRecord.reference_end is a finish-path hotspot otherwise)
+    ref_contrib = np.where(CONSUMES_REF[cig_out[:, 0]],
+                           cig_out[:, 1].astype(np.int64), 0)
+    cum = np.zeros(len(ref_contrib) + 1, np.int64)
+    np.cumsum(ref_contrib, out=cum[1:])
+    ref_lens = cum[cig_off + n_cig] - cum[cig_off]
     out = []
     for i in range(len(pos)):
         co, nc = cig_off[i], n_cig[i]
         so, ls = seq_off[i], l_seq[i]
         to, tn = tags_off[i], tags_len[i]
-        out.append(LazyTagsBamRecord(
+        cig = cig_out[co: co + nc]
+        rec = LazyTagsBamRecord(
             name=bytes(data[name_off[i]: name_off[i] + name_len[i]]
                        ).decode("ascii", "replace"),
             flag=int(flag[i]), ref_id=int(rid[i]), pos=int(pos[i]),
             mapq=int(mapq[i]),
-            cigar=cig_out[co: co + nc], seq=seq_out[so: so + ls],
+            cigar=cig, seq=seq_out[so: so + ls],
             qual=qual_out[so: so + ls],
             tags=bytes(data[to: to + tn]) if tn else {},
             next_ref_id=int(nref[i]), next_pos=int(npos[i]),
-            tlen=int(tl[i])))
+            tlen=int(tl[i]))
+        rec._refend_memo = (cig, int(ref_lens[i]))
+        out.append(rec)
     return out
 
 
@@ -591,7 +602,31 @@ class BamReader:
                 p = 0
 
     def __iter__(self):
+        recs = self._iter_native_whole()
+        if recs is not None:
+            return iter(recs)
         return self._records_from_stream(self.bgzf.stream_from(0), skip=self._data_start_ubytes)
+
+    def _iter_native_whole(self) -> list[BamRecord] | None:
+        """Whole-file fast path: native block-parallel BGZF inflate + one
+        native record-batch parse (no per-block Python zlib loop).  Returns
+        None when unavailable (no compiler, file too large to hold
+        uncompressed, or anything malformed -- the streaming path then
+        reproduces the exact error semantics)."""
+        from focalsv_tpu import native
+        raw = self.bgzf.raw
+        if native.get_parse_lib() is None or len(raw) > (256 << 20):
+            return None
+        data = native.bgzf_inflate(raw)
+        if data is None:
+            return None
+        data = data[self._data_start_ubytes:]
+        if data.size == 0:
+            return []
+        parsed = native.parse_records_batch(data)
+        if parsed is None or parsed[-1] != data.size:
+            return None    # partial/corrupt tail: let the stream path report
+        return records_from_batch(data, parsed)
 
     def fetch(self, chrom: str, start: int = 0, end: int | None = None):
         """Yield mapped records overlapping [start, end) on chrom."""

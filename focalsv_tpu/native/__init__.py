@@ -82,8 +82,8 @@ def get_parse_lib():
             and os.path.getmtime(_PARSE_SRC) > os.path.getmtime(_PARSE_SO)):
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _PARSE_SRC,
-                 "-o", _PARSE_SO],
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", _PARSE_SRC,
+                 "-o", _PARSE_SO, "-lz"],
                 check=True, capture_output=True, timeout=120)
         except Exception:
             return None
@@ -131,6 +131,20 @@ def get_parse_lib():
                                            i64p, i64p, i64p, i64p, u8p, u8p]
         lib.cigar_sigs_count.restype = ctypes.c_int64
         lib.cigar_sigs_count.argtypes = [i64p, i32p, i32p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int64]
+        lib.stitch_segments.restype = ctypes.c_int64
+        lib.stitch_segments.argtypes = [
+            u8p, u8p, ctypes.c_int64,               # sym, covpos, L
+            i64p, i64p, i64p, ctypes.c_int64, u8p,  # cuts, ins off/len/seq
+            ctypes.c_int64,                         # max_gap
+            u8p, ctypes.c_int64,                    # contig_out, cap
+            i32p, ctypes.c_int64,                   # ops_out, cap
+            i64p, i64p, i64p, ctypes.c_int64,       # seg arrays, cap
+            i64p, i64p]                             # out lens
+        lib.bgzf_usize.restype = ctypes.c_int64
+        lib.bgzf_usize.argtypes = [u8p, ctypes.c_int64]
+        lib.bgzf_inflate_all.restype = ctypes.c_int64
+        lib.bgzf_inflate_all.argtypes = [u8p, ctypes.c_int64, u8p,
                                          ctypes.c_int64, ctypes.c_int64]
         lib.cigar_sigs_fill.restype = ctypes.c_int64
         lib.cigar_sigs_fill.argtypes = [i64p, i32p, i32p, i32p, i32p, u8p,
@@ -186,6 +200,94 @@ def parse_records_batch(data) -> tuple | None:
     if got != nrec:
         return None
     return fixed, spans, cig_out, seq_out, qual_out, int(consumed.value)
+
+
+def bgzf_inflate(raw, n_threads: int = 2) -> np.ndarray | None:
+    """Inflate a whole BGZF buffer natively (GIL-free, block-parallel).
+
+    ``raw`` is any buffer of the complete compressed file (bytes / mmap /
+    ndarray).  Returns the uncompressed bytes as a uint8 array, or None if
+    the native lib is unavailable or the buffer is not clean BGZF (caller
+    falls back to the Python block reader)."""
+    lib = get_parse_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(raw, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bp = buf.ctypes.data_as(u8p)
+    n = ctypes.c_int64(buf.size)
+    usize = lib.bgzf_usize(bp, n)
+    if usize < 0:
+        return None
+    out = np.empty(int(usize), np.uint8)
+    got = lib.bgzf_inflate_all(bp, n, out.ctypes.data_as(u8p),
+                               ctypes.c_int64(out.size),
+                               ctypes.c_int64(n_threads))
+    if got != usize:
+        return None
+    return out
+
+
+def stitch_segments(sym: np.ndarray, cov: np.ndarray, ins_at: dict,
+                    max_gap: int):
+    """Native consensus stitch: bit-parity with the Python
+    assembly/consensus.py::stitch_contig_segments.  Returns
+    (contig, segments) or None when the native lib is unavailable."""
+    lib = get_parse_lib()
+    if lib is None:
+        return None
+    sym = np.ascontiguousarray(sym, np.uint8)
+    covpos = (np.asarray(cov) > 0).astype(np.uint8)
+    L = sym.size
+    cuts = sorted(ins_at)
+    n_cut = len(cuts)
+    cut_pos = np.array(cuts, np.int64)
+    seqs = [np.asarray(ins_at[c], np.uint8) for c in cuts]
+    ins_len = np.array([s.size for s in seqs], np.int64)
+    ins_off = np.zeros(n_cut, np.int64)
+    if n_cut:
+        np.cumsum(ins_len[:-1], out=ins_off[1:])
+    ins_seq = (np.concatenate(seqs) if n_cut else
+               np.zeros(0, np.uint8)).astype(np.uint8)
+    emit = (sym < 4) & (covpos > 0)
+    contig_cap = int(np.count_nonzero(emit)) + int(ins_len.sum()) + 1
+    n_runs = int(np.count_nonzero(emit[1:] & ~emit[:-1])) + int(emit[0]) \
+        if L else 0
+    seg_cap = n_runs + n_cut + 2
+    ops_cap = 2 * (n_runs + 1) + 3 * (n_cut + 2) + 2 * seg_cap
+    contig_out = np.empty(contig_cap, np.uint8)
+    ops_out = np.empty((ops_cap, 2), np.int32)
+    seg_t0 = np.empty(seg_cap, np.int64)
+    seg_off = np.empty(seg_cap, np.int64)
+    seg_n = np.empty(seg_cap, np.int64)
+    out_len = ctypes.c_int64(0)
+    out_segs = ctypes.c_int64(0)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    P = lambda a, t: a.ctypes.data_as(t)        # noqa: E731
+    rc = lib.stitch_segments(
+        P(sym, u8p), P(covpos, u8p), ctypes.c_int64(L),
+        P(cut_pos, i64p), P(ins_off, i64p), P(ins_len, i64p),
+        ctypes.c_int64(n_cut), P(ins_seq, u8p), ctypes.c_int64(max_gap),
+        P(contig_out, u8p), ctypes.c_int64(contig_cap),
+        P(ops_out, i32p), ctypes.c_int64(ops_cap),
+        P(seg_t0, i64p), P(seg_off, i64p), P(seg_n, i64p),
+        ctypes.c_int64(seg_cap),
+        ctypes.byref(out_len), ctypes.byref(out_segs))
+    if rc != 0:
+        return None      # caps exceeded (shouldn't happen): Python fallback
+    cl = int(out_len.value)
+    if cl == 0:
+        return None, []
+    contig = contig_out[:cl].copy()
+    segments = []
+    for s in range(int(out_segs.value)):
+        o, k = int(seg_off[s]), int(seg_n[s])
+        ops = [(int(ops_out[j, 0]), int(ops_out[j, 1]))
+               for j in range(o, o + k)]
+        segments.append((int(seg_t0[s]), ops))
+    return contig, segments
 
 
 def build_tile_rows(recs, region_start: int, region_len: int,

@@ -548,3 +548,320 @@ int64_t cigar_sigs_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Whole-buffer BGZF inflate (io/bam.py::BgzfReader.read_all, natively).
+//
+// The Python reader pays one zlib.decompress call + bytearray reassembly
+// per 64 KB block under the GIL; at 30x coverage that is ~60% of the
+// region-BAM load cost.  Here: one header walk to index the blocks, then
+// the blocks inflate in parallel (each block's uncompressed offset is the
+// prefix sum of the ISIZE footers, so writers never overlap).
+//
+// Reference contrast: the reference shells out to samtools (htslib's
+// threaded BGZF codec) per region, 1_crop_bam.py:90-91.
+// ---------------------------------------------------------------------
+
+#include <zlib.h>
+
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct BgzfBlock {
+    int64_t cdata_off;   // compressed payload start
+    int64_t cdata_len;
+    int64_t uoff;        // uncompressed output offset
+    int64_t ulen;        // ISIZE
+};
+
+// Walk block headers; returns blocks and total uncompressed size, or -1 on
+// a malformed header (caller falls back to the Python reader).
+int64_t bgzf_index(const uint8_t* raw, int64_t n,
+                   std::vector<BgzfBlock>* blocks) {
+    int64_t off = 0, usize = 0;
+    while (off < n) {
+        if (off + 18 > n) return -1;
+        if (raw[off] != 0x1F || raw[off + 1] != 0x8B) return -1;
+        uint16_t xlen;
+        std::memcpy(&xlen, raw + off + 10, 2);
+        int64_t p = off + 12, end_extra = p + xlen;
+        if (end_extra > n) return -1;
+        int64_t bsize = -1;
+        while (p + 4 <= end_extra) {
+            const uint8_t si1 = raw[p], si2 = raw[p + 1];
+            uint16_t slen;
+            std::memcpy(&slen, raw + p + 2, 2);
+            if (si1 == 0x42 && si2 == 0x43 && slen >= 2) {
+                uint16_t bs;
+                std::memcpy(&bs, raw + p + 4, 2);
+                bsize = (int64_t)bs + 1;
+            }
+            p += 4 + slen;
+        }
+        if (bsize < 0 || off + bsize > n || bsize < 12 + xlen + 8) return -1;
+        uint32_t isize;
+        std::memcpy(&isize, raw + off + bsize - 4, 4);
+        BgzfBlock b;
+        b.cdata_off = off + 12 + xlen;
+        b.cdata_len = bsize - 12 - xlen - 8;
+        b.uoff = usize;
+        b.ulen = isize;
+        if (isize > 0) blocks->push_back(b);
+        usize += isize;
+        off += bsize;
+    }
+    return usize;
+}
+
+bool inflate_one(const uint8_t* src, int64_t src_len,
+                 uint8_t* dst, int64_t dst_len) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    zs.next_in = const_cast<uint8_t*>(src);
+    zs.avail_in = (uInt)src_len;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)dst_len;
+    const int rc = inflate(&zs, Z_FINISH);
+    const bool ok = (rc == Z_STREAM_END) &&
+                    (int64_t)zs.total_out == dst_len;
+    inflateEnd(&zs);
+    return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Total uncompressed size of a BGZF buffer (header walk only), or -1.
+int64_t bgzf_usize(const uint8_t* raw, int64_t n) {
+    std::vector<BgzfBlock> blocks;
+    return bgzf_index(raw, n, &blocks);
+}
+
+// Inflate every block into out (caller sized it via bgzf_usize).
+// Returns bytes written, or -1 on any malformed/corrupt block.
+int64_t bgzf_inflate_all(const uint8_t* raw, int64_t n,
+                         uint8_t* out, int64_t out_cap, int64_t n_threads) {
+    std::vector<BgzfBlock> blocks;
+    const int64_t usize = bgzf_index(raw, n, &blocks);
+    if (usize < 0 || usize > out_cap) return -1;
+    const int64_t nb = (int64_t)blocks.size();
+    if (nb == 0) return 0;
+    int64_t nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > nb) nt = nb;
+    std::vector<uint8_t> ok(nt, 1);
+    auto work = [&](int64_t t) {
+        // contiguous stripes: each thread's writes are one dst range
+        const int64_t lo = t * nb / nt, hi = (t + 1) * nb / nt;
+        for (int64_t i = lo; i < hi; i++) {
+            const BgzfBlock& b = blocks[i];
+            if (!inflate_one(raw + b.cdata_off, b.cdata_len,
+                             out + b.uoff, b.ulen)) {
+                ok[t] = 0;
+                return;
+            }
+        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ths;
+        for (int64_t t = 0; t < nt; t++) ths.emplace_back(work, t);
+        for (auto& th : ths) th.join();
+    }
+    for (int64_t t = 0; t < nt; t++)
+        if (!ok[t]) return -1;
+    return usize;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native consensus stitch (assembly/consensus.py::stitch_contig_segments,
+// bit-parity port).  The Python original walks the op stream one run at a
+// time under the GIL; noisy consensus tracks have thousands of
+// single-column holes, making this the hottest ragged-finish piece.
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// sym/covpos are the L-column consensus tracks (covpos = cov > 0);
+// cut_pos/ins_off/ins_len (ascending cut_pos) describe the decided
+// insertions whose bases live in ins_seq.  Outputs: contig bytes,
+// per-segment (t0, ops_off, n_ops) and a shared (op, len) int32 ops pool.
+// Returns packed counts ((n_segs << 40) | (ops_used << 20) | contig_len
+// is too small; use three out-params instead).  ok = 0, caps hit = -1.
+int64_t stitch_segments(
+    const uint8_t* sym, const uint8_t* covpos, int64_t L,
+    const int64_t* cut_pos, const int64_t* ins_off, const int64_t* ins_len,
+    int64_t n_cut, const uint8_t* ins_seq, int64_t max_gap,
+    uint8_t* contig_out, int64_t contig_cap,
+    int32_t* ops_out, int64_t ops_cap,          // (op, len) pairs
+    int64_t* seg_t0, int64_t* seg_ops_off, int64_t* seg_n_ops,
+    int64_t seg_cap,
+    int64_t* out_contig_len, int64_t* out_n_segs) {
+    *out_contig_len = 0;
+    *out_n_segs = 0;
+    // ---- contig assembly + emitted-column stream in one pass ----
+    // stream is built as (op, len) runs directly from the mask walk.
+    std::vector<int32_t> stream;   // op,len pairs (lens < 2^31 since L is)
+    stream.reserve(256);
+    int64_t contig_len = 0, n_emit = 0;
+    int64_t prev = -2;             // last reference column consumed; -2 = None
+    bool any_emit_seen = false;
+    int64_t first_pos = -1;
+    int64_t ci = 0;                // next cut index
+    auto push_op = [&](int32_t op, int64_t ln) {
+        if (ln <= 0) return;
+        if (!stream.empty() && stream[stream.size() - 2] == op)
+            stream[stream.size() - 1] += (int32_t)ln;
+        else {
+            stream.push_back(op);
+            stream.push_back((int32_t)ln);
+        }
+    };
+    // emit columns in [a, b): append bases + M/D stream runs
+    auto emit_range = [&](int64_t a, int64_t b) -> bool {
+        if (a < 0) a = 0;
+        if (b > L) b = L;     // a cut point at/past L emits no extra bases
+        int64_t run = 0;
+        for (int64_t p = a; p < b; p++) {
+            if (sym[p] < 4 && covpos[p]) {
+                if (contig_len >= contig_cap) return false;
+                contig_out[contig_len++] = sym[p];
+                n_emit++;
+                if (first_pos < 0) first_pos = p;
+                if (!any_emit_seen) {
+                    any_emit_seen = true;
+                } else if (prev >= -1 && p > prev + 1) {
+                    push_op(CDEL, p - prev - 1);
+                }
+                push_op(CMATCH, 1);
+                prev = p;
+                run++;
+            }
+        }
+        return true;
+    };
+    for (ci = 0; ci < n_cut; ci++) {
+        const int64_t lo = ci ? cut_pos[ci - 1] : 0;
+        const int64_t cp = cut_pos[ci];
+        if (!emit_range(lo, cp)) return -1;
+        // splice the insertion bases
+        if (contig_len + ins_len[ci] > contig_cap) return -1;
+        std::memcpy(contig_out + contig_len, ins_seq + ins_off[ci],
+                    ins_len[ci]);
+        contig_len += ins_len[ci];
+        if (any_emit_seen && cp > prev + 1) {
+            push_op(CDEL, cp - prev - 1);
+            prev = cp - 1;
+        }
+        // INS never merges with a previous INS in the Python original
+        // (separate appends) -- but push_op merges adjacent same-op runs.
+        // The original DOES append (CINS, len) individually, and two
+        // adjacent CINS ops only arise from two cut points with no emitted
+        // base between them; downstream treats a merged run identically,
+        // but bit-parity requires keeping them split.
+        stream.push_back(CINS);
+        stream.push_back((int32_t)ins_len[ci]);
+    }
+    if (!emit_range(n_cut ? cut_pos[n_cut - 1] : 0, L)) return -1;
+    if (contig_len == 0) return 0;                   // (None, [])
+    if (n_emit == 0) { *out_contig_len = contig_len; return 0; }  // no anchor
+    // ---- split into segments at gaps > max_gap ----
+    // cur ops accumulate into ops_out at ops_used, finalized per segment
+    int64_t ops_used = 0, n_segs = 0;
+    int64_t q = 0, t = first_pos;
+    int64_t cur_t = t, cur_q = 0;
+    int64_t cur_off = ops_used, cur_n = 0;
+    auto finalize = [&]() -> bool {
+        // strip dangling gap ops, wrap soft clips
+        int64_t t0 = cur_t, q0 = cur_q;
+        int64_t b = cur_off, e = cur_off + cur_n;    // pair indices
+        while (e > b && ops_out[2 * (e - 1)] != CMATCH) e--;
+        while (e > b && ops_out[2 * b] != CMATCH) {
+            if (ops_out[2 * b] == CDEL) t0 += ops_out[2 * b + 1];
+            else q0 += ops_out[2 * b + 1];
+            b++;
+        }
+        if (e == b) { cur_n = 0; return true; }      // dropped segment
+        int64_t q_end = q0;
+        for (int64_t i = b; i < e; i++) {
+            const int32_t op = ops_out[2 * i];
+            if (op == CMATCH || op == CINS || op == CSOFT_CLIP ||
+                op == CEQUAL || op == CDIFF)
+                q_end += ops_out[2 * i + 1];
+        }
+        // shift down over the stripped prefix, with room for a leading clip
+        const bool lead = q0 > 0;
+        const bool tail = q_end < contig_len;
+        const int64_t need = (e - b) + (lead ? 1 : 0) + (tail ? 1 : 0);
+        if (cur_off + need > ops_cap || n_segs >= seg_cap) return false;
+        if (lead) {
+            // make room: move [b, e) to cur_off+1
+            std::memmove(ops_out + 2 * (cur_off + 1), ops_out + 2 * b,
+                         2 * (e - b) * sizeof(int32_t));
+            ops_out[2 * cur_off] = CSOFT_CLIP;
+            ops_out[2 * cur_off + 1] = (int32_t)q0;
+        } else if (b != cur_off) {
+            std::memmove(ops_out + 2 * cur_off, ops_out + 2 * b,
+                         2 * (e - b) * sizeof(int32_t));
+        }
+        int64_t w = cur_off + (e - b) + (lead ? 1 : 0);
+        if (tail) {
+            ops_out[2 * w] = CSOFT_CLIP;
+            ops_out[2 * w + 1] = (int32_t)(contig_len - q_end);
+            w++;
+        }
+        seg_t0[n_segs] = t0;
+        seg_ops_off[n_segs] = cur_off;
+        seg_n_ops[n_segs] = w - cur_off;
+        n_segs++;
+        ops_used = w;
+        cur_off = ops_used;
+        cur_n = 0;
+        return true;
+    };
+    auto cur_push = [&](int32_t op, int64_t ln) -> bool {
+        if (cur_n &&
+            ops_out[2 * (cur_off + cur_n - 1)] == op) {
+            ops_out[2 * (cur_off + cur_n - 1) + 1] += (int32_t)ln;
+            return true;
+        }
+        if (cur_off + cur_n >= ops_cap) return false;
+        ops_out[2 * (cur_off + cur_n)] = op;
+        ops_out[2 * (cur_off + cur_n) + 1] = (int32_t)ln;
+        cur_n++;
+        return true;
+    };
+    const int64_t n_stream = (int64_t)stream.size() / 2;
+    for (int64_t s = 0; s < n_stream; s++) {
+        const int32_t op = stream[2 * s];
+        const int64_t ln = stream[2 * s + 1];
+        if (ln <= 0) continue;
+        const bool oversize = ln > max_gap && (op == CDEL || op == CINS);
+        if ((oversize || cur_n == 0) && op != CMATCH) {
+            if (oversize && cur_n) {
+                if (!finalize()) return -1;
+            }
+            if (op == CDEL) t += ln; else q += ln;
+            if (cur_n == 0) { cur_t = t; cur_q = q; }
+            continue;
+        }
+        if (!cur_push(op, ln)) return -1;
+        if (op == CMATCH) { q += ln; t += ln; }
+        else if (op == CINS) q += ln;
+        else t += ln;
+    }
+    if (cur_n) {
+        if (!finalize()) return -1;
+    }
+    *out_contig_len = contig_len;
+    *out_n_segs = n_segs;
+    return 0;
+}
+
+}  // extern "C"

@@ -415,7 +415,6 @@ def phased_snv_records(pr: PhaseResult, ref_codes: np.ndarray,
     The per-site phase is re-derived as the majority allele among the
     hap-1-assigned reads (identical on the host and device paths)."""
     from focalsv_tpu.io.vcf import VcfRecord
-    from focalsv_tpu.ops import encode as enc
     if pr.n_sites == 0:
         return []
     A = pr.allele_mat
@@ -437,13 +436,16 @@ def phased_snv_records(pr: PhaseResult, ref_codes: np.ndarray,
         b = int(pr.site_blocks[s])
         ps_of_block.setdefault(b, int(pr.site_positions[s]) + 1)
     out = []
+    base_ch = "ACGTN"
+    site_pos = pr.site_positions
+    site_a0, site_a1 = pr.site_allele0, pr.site_allele1
     for s in range(pr.n_sites):
-        gpos = int(pr.site_positions[s])
+        gpos = int(site_pos[s])
         lpos = gpos - region_start
         if not (0 <= lpos < len(ref_codes)):
             continue
         refb = int(ref_codes[lpos])
-        a0, a1 = int(pr.site_allele0[s]), int(pr.site_allele1[s])
+        a0, a1 = int(site_a0[s]), int(site_a1[s])
         if a0 > 3 or a1 > 3:
             continue   # DEL-allele phasing marker, not a SNV
         if a0 != refb and a1 != refb:
@@ -461,8 +463,7 @@ def phased_snv_records(pr: PhaseResult, ref_codes: np.ndarray,
         g2 = 0 if hap2_allele == refb else 1
         out.append(VcfRecord(
             chrom=chrom, pos=gpos + 1, id=".",
-            ref=enc.decode(np.array([refb], np.uint8)),
-            alt=enc.decode(np.array([alt], np.uint8)),
+            ref=base_ch[refb], alt=base_ch[alt],
             qual="30", filter="PASS",
             info=dict(PS=ps_of_block[int(pr.site_blocks[s])]),
             gt=f"{g1}|{g2}"))

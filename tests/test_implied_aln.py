@@ -154,3 +154,31 @@ def test_matched_columns_agree_with_emitted_positions():
     assert [t for t, _ in pairs] == list(emitted)
     for t, q in pairs:
         assert contig[q] == sym[t]
+
+
+def test_native_stitch_parity_fuzz():
+    """native/bamparse.cpp::stitch_segments must be bit-parity with the
+    Python reference implementation (contig bytes, segment t0s, op lists)
+    across random sym/cov tracks, insertion sets, and max_gap bounds."""
+    import numpy as np
+
+    from focalsv_tpu import native
+    from focalsv_tpu.assembly.consensus import _stitch_contig_segments_py
+
+    assert native.get_parse_lib() is not None
+    rng = np.random.default_rng(11)
+    for _ in range(400):
+        L = int(rng.integers(1, 300))
+        sym = rng.integers(0, 7, L).astype(np.uint8)
+        cov = rng.integers(0, 3, L).astype(np.int32)
+        ins_at = {int(rng.integers(0, L + 2)):
+                  rng.integers(0, 4, int(rng.integers(0, 60))).astype(np.uint8)
+                  for _ in range(int(rng.integers(0, 4)))}
+        mg = int(rng.choice([3, 10, 10_000]))
+        out = native.stitch_segments(sym, cov, ins_at, mg)
+        assert out is not None
+        c1, s1 = out
+        c2, s2 = _stitch_contig_segments_py(sym, cov, ins_at, mg)
+        assert (c1 is None) == (c2 is None)
+        assert c1 is None or np.array_equal(c1, c2)
+        assert s1 == s2

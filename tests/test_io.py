@@ -216,3 +216,40 @@ def test_bam_midstream_corruption_raises(tmp_path):
         f.write(bm.BGZF_EOF)
     with pytest.raises(ValueError, match="corrupt BAM record"):
         list(BamReader(p2))
+
+
+def test_native_bgzf_inflate_parity(tmp_path):
+    """The native block-parallel BGZF inflate must reproduce the Python
+    reader's bytes exactly, and the whole-file record fast path must yield
+    identical records to the streaming path."""
+    import numpy as np
+
+    from focalsv_tpu import native
+    from focalsv_tpu.io.bam import BamReader, BamRecord, BamWriter, BgzfReader
+
+    p = str(tmp_path / "t.bam")
+    w = BamWriter(p, ["chr1"], [100_000])
+    rng = np.random.default_rng(5)
+    for i in range(200):
+        n = int(rng.integers(30, 400))
+        w.write(BamRecord(
+            name=f"read_{i}", flag=0, ref_id=0, pos=10 * i, mapq=60,
+            cigar=np.array([[0, n]], np.int32),
+            seq=rng.integers(0, 4, n).astype(np.uint8),
+            qual=np.full(n, 30, np.uint8), tags={"XX": i}))
+    w.close()
+    raw = open(p, "rb").read()
+    nat = native.bgzf_inflate(raw)
+    assert nat is not None
+    assert nat.tobytes() == BgzfReader(p).read_all()
+    r = BamReader(p)
+    fast = r._iter_native_whole()
+    slow = list(r._records_from_stream(r.bgzf.stream_from(0),
+                                       skip=r._data_start_ubytes))
+    assert fast is not None and len(fast) == len(slow)
+    for a, b in zip(fast, slow):
+        assert (a.name, a.flag, a.pos, a.mapq, a.tags) == \
+            (b.name, b.flag, b.pos, b.mapq, b.tags)
+        assert np.array_equal(a.cigar, b.cigar)
+        assert np.array_equal(a.seq, b.seq)
+        assert a.reference_end == b.reference_end
