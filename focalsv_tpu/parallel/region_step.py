@@ -41,42 +41,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NOCOV = 255
-DEL_SYM = 254
+from focalsv_tpu.parallel.wire import (BLOCK, DEL_SYM, NIB_MAP, NOCOV,
+                                        delta_flat_layout, flat_layout,
+                                        pack_delta_chunk, pack_nibbles,
+                                        pack_row_tile, pack_rows_chunk,
+                                        rows_flat_layout, unflatten_result)
 
-# 4-bit pileup symbol codec: halves the host->device bytes of a region tile
-# (the dominant transfer).  {A,C,G,T,N} -> 0..4, DEL -> 5, NOCOV -> 15.
-NIB_MAP = np.full(256, 15, np.uint8)
-NIB_MAP[:5] = np.arange(5)
-NIB_MAP[DEL_SYM] = 5
-_NIB_INV = np.full(16, NOCOV, np.uint8)
-_NIB_INV[:5] = np.arange(5)
-_NIB_INV[5] = DEL_SYM
-
-
-def pack_nibbles(mat: np.ndarray, L_pad: int | None = None) -> np.ndarray:
-    """(R, L) uint8 pileup -> (R, L_pad/2) packed nibbles (host side).
-
-    SPLIT-HALF layout: byte j holds columns j (low nibble) and j + L_pad/2
-    (high nibble).  An interleaved (even/odd) layout would force the device
-    unpack through a (..., L/2, 2) intermediate whose trailing dim of 2 is
-    padded to the 128-lane tile on TPU -- a 64x HBM blowup that OOMs at
-    100 kb regions; the split-half unpack is a plain last-axis concatenate.
-    Columns beyond L are NOCOV padding (so L_pad just extends the tile)."""
-    L = mat.shape[1]
-    if L_pad is None:
-        L_pad = L + (L % 2)
-    assert L_pad % 2 == 0 and L_pad >= L
-    # NIB_MAP as arithmetic (symbols <5 map to themselves, DEL_SYM -> 5,
-    # rest incl. enc.PAD=5 -> NOCOV): a 256-entry fancy index over the full
-    # tile ran ~4x slower than two vectorized selects
-    nib = np.where(mat < 5, mat,
-                   np.where(mat == DEL_SYM, np.uint8(5), np.uint8(15)))
-    if L_pad > L:
-        nib = np.concatenate(
-            [nib, np.full((nib.shape[0], L_pad - L), 15, np.uint8)], axis=1)
-    h = L_pad // 2
-    return (nib[:, :h] | (nib[:, h:] << 4)).astype(np.uint8)
+__all_wire__ = ("BLOCK", "DEL_SYM", "NIB_MAP", "NOCOV", "delta_flat_layout",
+                "flat_layout", "pack_delta_chunk", "pack_nibbles",
+                "pack_row_tile", "pack_rows_chunk", "rows_flat_layout",
+                "unflatten_result")   # moved to wire.py (jax-free)
 
 
 def _unpack_nibbles(packed: jax.Array, L: int) -> jax.Array:
@@ -349,35 +323,6 @@ def phase_consensus_batch(
     return out[:6]
 
 
-def flat_layout(R: int, L: int, S: int) -> dict[str, tuple[int, int]]:
-    """Byte offsets of the per-region flat result buffer (device->host is a
-    single array so the transfer is one RPC on tunneled backends).
-
-    The (R, S) allele matrix never leaves the device: the host only needs
-    per-site summaries (alleles, hap-1 vote, connectivity), computed on
-    device -- at 256 reads x 512 sites that is the difference between a
-    131 KB and a 2 KB site payload per region.  Consensus symbols ship as
-    4-bit nibbles (split-half, see pack_nibbles)."""
-    off = 0
-    out = {}
-    for name, size in (
-        ("n_sites", 4),
-        ("site_pos", 4 * S),
-        ("site_a0", S),
-        ("site_a1", S),
-        ("site_h", S),
-        ("site_conn", S),
-        ("hp", R),
-        ("read_block", 2 * R),  # (R,) int16 phase-block id, -1 unphased
-        ("symnib", L),          # (2, L) symbols 0..5, packed 2-per-byte
-        ("covbits", 2 * (L // 8)),
-    ):
-        out[name] = (off, off + size)
-        off += size
-    out["__total__"] = (0, off)
-    return out
-
-
 def _flat_parts(res_tuple, L):
     """Assemble one region's flat result buffer from _one_region outputs."""
     (site_pos, n_sites, _A, hp, sym, cov,
@@ -396,6 +341,68 @@ def _flat_parts(res_tuple, L):
         jax.lax.bitcast_convert_type(read_block, jnp.uint8).reshape(-1),
         symnib.reshape(-1),
         jnp.packbits(cov.reshape(-1)),
+    ]
+
+
+def _flat_parts_rle(res_tuple, ref, ltrue, Drle):
+    """Flat result with RUN-LENGTH-ENCODED consensus tracks (vs the region
+    reference the delta kernel already holds): wire.flat_layout_rle.
+
+    The dense flat buffer ships 1.25*L bytes of symnib+covbits per region;
+    a voted consensus deviates from the reference at only the variant
+    sites, deletion runs, and low-depth holes, so encoding each track as
+    (start, len, state) runs cuts the d2h payload (and its decode) by
+    ~10-50x.  state = voted symbol 0..5 when covered, 7 when uncovered;
+    a track whose true run count exceeds Drle reports it via n_runs and
+    the host falls back to the per-region host path (exact, just slower).
+    """
+    (site_pos, n_sites, _A, hp, sym, cov,
+     sa0, sa1, site_h, conn, read_block) = res_tuple
+    L = sym.shape[1]
+    i32 = jnp.int32
+    colv = jnp.arange(L, dtype=i32) < ltrue
+
+    def track(k):
+        # scatter-free compaction: TPU scatters serialize, so the runs are
+        # located with cumsum + searchsorted (binary-search gathers) -- the
+        # i-th run starts at the first column whose boundary-cumsum is i+1,
+        # and its length is the dev-column count between its start and the
+        # next run's start (runs' dev columns are contiguous by definition)
+        s = sym[k].astype(jnp.uint8)
+        c = cov[k]
+        state = jnp.where(c, s, jnp.uint8(7))
+        dev = colv & ~(c & (s == ref))
+        prev_dev = jnp.concatenate([jnp.zeros(1, jnp.bool_), dev[:-1]])
+        prev_state = jnp.concatenate(
+            [jnp.full(1, 255, jnp.uint8), state[:-1]])
+        boundary = dev & (~prev_dev | (state != prev_state))
+        cb = jnp.cumsum(boundary.astype(i32))
+        n_runs = cb[-1]
+        cd2 = jnp.concatenate([jnp.zeros(1, i32),
+                               jnp.cumsum(dev.astype(i32))])
+        starts = jnp.searchsorted(
+            cb, jnp.arange(1, Drle + 2, dtype=i32))         # (Drle+1,)
+        run_start = starts[:Drle]
+        run_len = cd2[starts[1:]] - cd2[run_start]
+        run_val = state[jnp.clip(run_start, 0, L - 1)]
+        return n_runs, run_start.astype(i32), run_len.astype(i32), run_val
+
+    n0, rs0, rl0, rv0 = track(0)
+    n1, rs1, rl1, rv1 = track(1)
+    u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)  # noqa: E731
+    return [
+        u8(n_sites[None]),
+        u8(site_pos),
+        sa0.reshape(-1),
+        sa1.reshape(-1),
+        site_h.reshape(-1),
+        conn.reshape(-1),
+        u8(hp),
+        u8(read_block),
+        u8(jnp.stack([n0, n1])),
+        u8(jnp.stack([rs0, rs1])),
+        u8(jnp.stack([rl0, rl1])),
+        rv0.reshape(-1), rv1.reshape(-1),
     ]
 
 
@@ -645,89 +652,13 @@ def _u8_to_i32(seg: jax.Array, *shape: int) -> jax.Array:
         seg.reshape(*shape, 4), jnp.int32)
 
 
-def delta_flat_layout(G: int, R: int, L: int, Ds: int, Dd: int
-                      ) -> dict[str, tuple[int, int]]:
-    """Byte offsets of the single-buffer delta chunk wire format.
-
-    The tunneled production link pays a large per-ARRAY round-trip cost
-    (measured ~100 ms per argument on the axon relay); shipping ten
-    argument arrays per chunk made argument latency, not bytes, the
-    dominant device-window cost.  One uint8 buffer per chunk pays it
-    once.  All sections are 4-byte aligned by construction (R, Ds, Dd
-    pow2 >= 8; L a 4096-multiple)."""
-    out = {}
-    off = 0
-    for name, size in (
-        ("ref", G * L),
-        ("starts", G * R * 4),
-        ("ends", G * R * 4),
-        ("rv", G * R),
-        ("sub_pos", G * Ds * 4),
-        ("sub_read", G * Ds * 4),
-        ("sub_sym", G * Ds),
-        ("del_read", G * Dd * 4),
-        ("del_a", G * Dd * 4),
-        ("del_b", G * Dd * 4),
-        ("ltrue", G * 4),       # true region length (strip geometry)
-    ):
-        out[name] = (off, off + size)
-        off += size
-    out["__total__"] = (0, off)
-    return out
-
-
-def pack_delta_chunk(tiles, chunk, G: int, R: int, L: int, Ds: int, Dd: int
-                     ) -> np.ndarray:
-    """Host-side single-buffer pack of one delta chunk (delta_flat_layout).
-
-    ``tiles[i]`` needs .ref_codes, .row_starts, .row_lens, .subs, .dels."""
-    lay = delta_flat_layout(G, R, L, Ds, Dd)
-    buf = np.zeros(lay["__total__"][1], np.uint8)
-
-    def sect(name, dt, *shape):
-        a, b = lay[name]
-        return buf[a:b].view(dt).reshape(*shape)
-
-    ref = sect("ref", np.uint8, G, L)
-    starts = sect("starts", np.int32, G, R)
-    ends = sect("ends", np.int32, G, R)
-    rv = sect("rv", np.uint8, G, R)
-    sub_pos = sect("sub_pos", np.int32, G, Ds)
-    sub_read = sect("sub_read", np.int32, G, Ds)
-    sub_sym = sect("sub_sym", np.uint8, G, Ds)
-    del_read = sect("del_read", np.int32, G, Dd)
-    del_a = sect("del_a", np.int32, G, Dd)
-    del_b = sect("del_b", np.int32, G, Dd)
-    ltrue = sect("ltrue", np.int32, G)
-    sub_read[:] = -1
-    del_read[:] = -1
-    ltrue[:] = L
-    for g, ti in enumerate(chunk):
-        t = tiles[ti]
-        Ra = t.row_starts.shape[0]
-        La = t.region_len
-        ltrue[g] = La
-        ref[g, :La] = np.asarray(t.ref_codes, np.uint8)
-        starts[g, :Ra] = t.row_starts
-        ends[g, :Ra] = t.row_starts + t.row_lens
-        rv[g, :Ra] = 1
-        ns = t.subs[0].size
-        sub_pos[g, :ns] = t.subs[0]
-        sub_read[g, :ns] = t.subs[1]
-        sub_sym[g, :ns] = t.subs[2]
-        nd = t.dels[0].size
-        del_read[g, :nd] = t.dels[0]
-        del_a[g, :nd] = t.dels[1]
-        del_b[g, :nd] = t.dels[2]
-    return buf
-
-
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES
-                   + ("G", "R", "L", "Ds", "Dd"))
+                   + ("G", "R", "L", "Ds", "Dd", "Drle"))
 def phase_consensus_delta_flat(
     buf: jax.Array,          # (total,) uint8, delta_flat_layout
     *,
     G: int, R: int, L: int, Ds: int, Dd: int,
+    Drle: int = 0,           # >0: RLE consensus tracks (flat_layout_rle)
     max_sites: int = 512,
     mec_iters: int = 30,
     min_site_depth: int = 4,
@@ -765,7 +696,11 @@ def phase_consensus_delta_flat(
         purify_num=purify_num, purify_den=purify_den)
 
     def one(*args):
-        return jnp.concatenate(_flat_parts(_one_region_delta(*args, **kw), L))
+        out = _one_region_delta(*args, **kw)
+        if Drle:
+            return jnp.concatenate(
+                _flat_parts_rle(out, args[0], args[-1], Drle))
+        return jnp.concatenate(_flat_parts(out, L))
 
     return jax.vmap(one)(ref, starts, ends, rv, sub_pos, sub_read,
                          sub_sym, del_read, del_a, del_b, ltrue)
@@ -827,30 +762,6 @@ def sharded_phase_consensus_delta(args: tuple, mesh, *, L, **kw):
 
 
 # Row starts are quantized to BLOCK columns: the host pre-shifts each row
-# by start % BLOCK inside its buffer, and the device expansion gathers
-# BLOCK-contiguous chunks instead of single elements (a per-element
-# take_along_axis over the lane dim ran at ~35M cells/s on v5e; the block
-# gather moves 128-wide tiles).
-BLOCK = 128
-
-
-def pack_row_tile(rows: list[np.ndarray], W_pad: int,
-                  offsets=None) -> np.ndarray:
-    """Compact per-read rows -> (R, W_pad/2) split-half packed nibbles.
-
-    Each row (consensus.compact_pileup_rows) is placed at ``offsets[i]``
-    (its start % BLOCK; 0 when offsets is None) and padded to W_pad with
-    NOCOV; the device expansion treats columns outside the row as NOCOV
-    anyway, so padding is free coverage-wise.
-    """
-    R = len(rows)
-    mat = np.full((R, W_pad), NOCOV, np.uint8)
-    for i, row in enumerate(rows):
-        o = 0 if offsets is None else int(offsets[i])
-        mat[i, o : o + len(row)] = row
-    return pack_nibbles(mat, W_pad)
-
-
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES + ("L", "W"))
 def phase_consensus_rows_packed(
     packed_rows: jax.Array,  # (G, R, W//2) split-half packed compact rows
@@ -913,46 +824,6 @@ def phase_consensus_rows_packed(
     l4 = ltrue.reshape(G // inner, inner)
     out = jax.lax.map(lambda args: jax.vmap(one)(*args), (p4, s4, rv4, l4))
     return out.reshape(G, -1)
-
-
-def rows_flat_layout(G: int, R: int, W: int) -> dict[str, tuple[int, int]]:
-    """Single-buffer wire format of a dense (packed-rows) chunk: one
-    argument array per dispatch (see delta_flat_layout on why)."""
-    out = {}
-    off = 0
-    for name, size in (
-        ("rows", G * R * (W // 2)),
-        ("qstart", G * R * 4),
-        ("rv", G * R),
-        ("ltrue", G * 4),       # true region length (strip geometry)
-    ):
-        out[name] = (off, off + size)
-        off += size
-    out["__total__"] = (0, off)
-    return out
-
-
-def pack_rows_chunk(tiles, chunk, G: int, R: int, W: int) -> np.ndarray:
-    """Host-side single-buffer pack of one dense chunk (rows_flat_layout)."""
-    lay = rows_flat_layout(G, R, W)
-    buf = np.zeros(lay["__total__"][1], np.uint8)
-    a, b = lay["rows"]
-    rows = buf[a:b].reshape(G, R, W // 2)
-    rows[:] = 0xFF                     # two NOCOV nibbles
-    a, b = lay["qstart"]
-    qstart = buf[a:b].view(np.int32).reshape(G, R)
-    a, b = lay["rv"]
-    rv = buf[a:b].reshape(G, R)
-    a, b = lay["ltrue"]
-    ltrue = buf[a:b].view(np.int32)
-    for g, ti in enumerate(chunk):
-        t = tiles[ti]
-        Ra = t.nib.shape[0]
-        rows[g, :Ra] = t.nib
-        qstart[g, :Ra] = t.q_starts
-        rv[g, :Ra] = 1
-        ltrue[g] = t.region_len
-    return buf
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES
@@ -1039,32 +910,6 @@ def sharded_phase_consensus_rows_packed(packed_rows, row_start, read_valid,
         check_vma=False,
     )
     return fn(packed_rows, row_start, read_valid)
-
-
-def unflatten_result(buf: np.ndarray, R: int, L: int, S: int) -> tuple:
-    """Host-side decode of one region's flat buffer -> the unpacked tuple
-    (site_pos, n_sites, hp, sym, covered, site_a0, site_a1, site_h,
-    site_conn)."""
-    lay = flat_layout(R, L, S)
-
-    def seg(name):
-        a, b = lay[name]
-        return buf[a:b]
-
-    n_sites = int(seg("n_sites").view(np.int32)[0])
-    site_pos = seg("site_pos").view(np.int32)
-    hp = seg("hp").view(np.int8)
-    read_block = seg("read_block").view(np.int16)
-    symnib = seg("symnib").reshape(2, L // 2)
-    h = L // 2
-    sym = np.empty((2, L), np.uint8)
-    sym[:, :h] = symnib & 0xF
-    sym[:, h:] = symnib >> 4
-    covered = np.unpackbits(seg("covbits").reshape(2, L // 8),
-                            axis=1).astype(bool)
-    return (site_pos, n_sites, hp, sym, covered,
-            seg("site_a0"), seg("site_a1"), seg("site_h"), seg("site_conn"),
-            read_block)
 
 
 def phase_consensus_kwargs(phasing_cfg) -> dict:

@@ -121,7 +121,7 @@ def build_tile(reads, ref_codes, region_start: int, chrom: str,
     if not usable:
         return tile
     from focalsv_tpu import native
-    from focalsv_tpu.parallel.region_step import BLOCK, pack_row_tile
+    from focalsv_tpu.parallel.wire import BLOCK, pack_row_tile
     R = len(usable)
     L = len(ref_codes)
 
@@ -261,6 +261,16 @@ def _h2d_bytes(key: tuple, G: int) -> int:
     return G * Rp * (Wp // 2) + G * Rp * 5
 
 
+def _d2h_bytes_per_region(key: tuple, cfg: PipelineConfig) -> int:
+    """Result bytes per region (stage-stats accounting)."""
+    from focalsv_tpu.parallel.wire import flat_layout, flat_layout_rle
+    S = cfg.phasing.max_sites
+    Drle = drle_of(key)
+    if Drle:
+        return flat_layout_rle(key[1], S, Drle)["__total__"][1]
+    return flat_layout(key[1], key[2], S)["__total__"][1]
+
+
 _cache_ready = False
 _cache_lock = __import__("threading").Lock()
 
@@ -300,18 +310,27 @@ def _ensure_compile_cache():
         _cache_ready = True
 
 
-def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
-                  key: tuple, G: int, cfg: PipelineConfig, mesh):
-    """Pack one chunk of tiles and launch the device step (async); the
-    result's device->host copy is started immediately so transfers overlap
-    compute and each other."""
+def drle_of(key: tuple) -> int:
+    """RLE run budget for a delta bucket's result tracks (0 = dense
+    results).  A voted 30x consensus measures ~0.05% of columns as runs
+    (hets + SV dels + low-depth holes); 0.2% gives 4-8x headroom, and
+    overflow falls back to the host path -- the budget trades d2h bytes
+    against fallback frequency, not correctness."""
+    if key[0] != "delta":
+        return 0
+    return max(128, key[2] // 512)
+
+
+def dispatch_packed(buf: np.ndarray, key: tuple, G: int,
+                    cfg: PipelineConfig, mesh):
+    """Launch the device step on an already-packed chunk buffer (async);
+    the result's device->host copy is started immediately so transfers
+    overlap compute and each other."""
     from focalsv_tpu.parallel import region_step as rs
     kw = rs.phase_consensus_kwargs(cfg.phasing)
-    # single-argument wire format: the tunneled link pays a large
-    # per-array round-trip cost, so each chunk ships ONE uint8 buffer
     if key[0] == "delta":
         _, Rp, Lp, Ds, Dd = key
-        buf = rs.pack_delta_chunk(tiles, chunk, G, Rp, Lp, Ds, Dd)
+        kw["Drle"] = drle_of(key)
         if mesh is not None and mesh.size > 1:
             res = rs.sharded_phase_consensus_delta_flat(
                 buf, mesh, G=G, R=Rp, L=Lp, Ds=Ds, Dd=Dd, **kw)
@@ -320,7 +339,6 @@ def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
                                                 Ds=Ds, Dd=Dd, **kw)
     else:
         _, Rp, Lp, Wp = key
-        buf = rs.pack_rows_chunk(tiles, chunk, G, Rp, Wp)
         if mesh is not None and mesh.size > 1:
             res = rs.sharded_phase_consensus_rows_flat(
                 buf, mesh, G=G, R=Rp, L=Lp, W=Wp, **kw)
@@ -332,6 +350,28 @@ def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
     except Exception:
         pass     # not all backends expose the async copy
     return res
+
+
+def pack_chunk(tiles, chunk: list[int], key: tuple, G: int) -> np.ndarray:
+    """Pack one chunk of tiles into its single wire buffer.
+
+    ``tiles`` only needs the wire attributes (ref_codes/row_starts/...);
+    entries may be None for padded tail slots (empty regions)."""
+    from focalsv_tpu.parallel import wire
+    # single-argument wire format: the tunneled link pays a large
+    # per-array round-trip cost, so each chunk ships ONE uint8 buffer
+    if key[0] == "delta":
+        _, Rp, Lp, Ds, Dd = key
+        return wire.pack_delta_chunk(tiles, chunk, G, Rp, Lp, Ds, Dd)
+    _, Rp, Lp, Wp = key
+    return wire.pack_rows_chunk(tiles, chunk, G, Rp, Wp)
+
+
+def _dispatch_one(tiles: list[RegionTile], chunk: list[int],
+                  key: tuple, G: int, cfg: PipelineConfig, mesh):
+    """pack_chunk + dispatch_packed."""
+    return dispatch_packed(pack_chunk(tiles, chunk, key, G), key, G, cfg,
+                           mesh)
 
 
 def dispatch_device_chunks(tiles: list[RegionTile], cfg: PipelineConfig,
@@ -434,9 +474,7 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
         t0 = _time.perf_counter()
         outs = decode_chunk(tiles, chunk, key, res, cfg)
         st["device_wait_s"] += _time.perf_counter() - t0
-        from focalsv_tpu.parallel.region_step import flat_layout
-        st["d2h_bytes"] += len(chunk) * flat_layout(
-            key[1], key[2], cfg.phasing.max_sites)["__total__"][1]
+        st["d2h_bytes"] += len(chunk) * _d2h_bytes_per_region(key, cfg)
         for i in chunk:
             fin_futs[i] = pool.submit(timed_finish, i, tiles[i], outs.get(i))
 
@@ -483,18 +521,29 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
 def decode_chunk(tiles: list[RegionTile], chunk: list[int], key: tuple,
                  res, cfg: PipelineConfig) -> dict[int, tuple]:
     """Materialize one chunk's flat result buffers (blocks only for this
-    chunk) into per-tile unpacked outputs."""
-    from focalsv_tpu.parallel.region_step import unflatten_result
+    chunk) into per-tile unpacked outputs.
+
+    A region whose RLE result overflowed its run budget is absent from the
+    returned dict (its finish takes the host-fallback path)."""
+    from focalsv_tpu.parallel.wire import unflatten_result, \
+        unflatten_result_rle
     Rp, Lp = key[1], key[2]
     S = cfg.phasing.max_sites
+    Drle = drle_of(key)
     bufs = np.asarray(res)
     out: dict[int, tuple] = {}
     for g, ti in enumerate(chunk):
         t = tiles[ti]
         R = len(t.usable)
         L = t.region_len
+        if Drle:
+            dec = unflatten_result_rle(bufs[g], Rp, S, Drle, t.ref_codes)
+            if dec is None:
+                continue      # run-budget overflow: host fallback
+        else:
+            dec = unflatten_result(bufs[g], Rp, Lp, S)
         (site_pos, n_sites, hp, sym, cov, sa0, sa1, site_h,
-         conn, read_block) = unflatten_result(bufs[g], Rp, Lp, S)
+         conn, read_block) = dec
         n = n_sites
         out[ti] = (site_pos[:n], n, hp[:R], sym[:, :L], cov[:, :L],
                    sa0[:n], sa1[:n], site_h[:n], conn[:n], read_block[:R])
