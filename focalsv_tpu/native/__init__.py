@@ -213,6 +213,10 @@ def bgzf_inflate(raw, n_threads: int = 2) -> np.ndarray | None:
     if lib is None:
         return None
     buf = np.frombuffer(raw, np.uint8)
+    if buf.size < (8 << 20):
+        # small files (per-region BAMs): spawning inflate threads would
+        # oversubscribe the host when many readers run concurrently
+        n_threads = 1
     u8p = ctypes.POINTER(ctypes.c_uint8)
     bp = buf.ctypes.data_as(u8p)
     n = ctypes.c_int64(buf.size)
