@@ -65,16 +65,23 @@ def match_records(
     pctsim: float = 0.5,
     sizemin: int = 50,
     check_seq: bool = True,
+    pctovl: float = 0.01,
 ) -> BenchResult:
     """Globally-greedy scored matching of calls against a truth set.
 
-    Truvari semantics (truvari_eval_wgs.sh:20-24 thresholds): every
-    (truth, call) pair passing the refdist/pctsize/pctsim gates gets a
-    match score; pairs are assigned best-score-first with each truth and
-    each call used once.  A truth-ORDER greedy pass (r2/r3) could let an
-    earlier truth steal a later truth's only match while a worse
-    alternative remained for it -- the global ordering removes that
-    order dependence."""
+    Truvari semantics (truvari_eval_wgs.sh:20-24 thresholds: r=500 p=0.5
+    P=0.5 S=30 O=0.01): every (truth, call) pair passing the
+    refdist/pctsize/pctsim/pctovl gates gets a match score; pairs are
+    assigned best-score-first with each truth and each call used once.
+    A truth-ORDER greedy pass (r2/r3) could let an earlier truth steal a
+    later truth's only match while a worse alternative remained for it --
+    the global ordering removes that order dependence.  Score ties break
+    by (truth index, call index), the edge-construction order under the
+    stable sort -- the contract tests/test_compare_oracle.py pins.
+
+    ``pctovl``: minimum RECIPROCAL overlap for span-consuming types
+    (DEL/DUP/INV; truvari -O): ovl/len >= pctovl on BOTH sides.  INS has
+    no reference span, so the gate does not apply (truvari semantics)."""
     calls = [c for c in calls if _svlen(c) >= sizemin]
     truth = [t for t in truth if _svlen(t) >= sizemin]
     edges: list[tuple[float, int, int]] = []
@@ -88,6 +95,10 @@ def match_records(
             size_sim = min(lt, lc) / max(lt, lc, 1)
             if size_sim < pctsize:
                 continue
+            if pctovl > 0 and _svtype(t) != "INS":
+                ovl = min(t.pos + lt, c.pos + lc) - max(t.pos, c.pos)
+                if ovl < pctovl * lt or ovl < pctovl * lc:
+                    continue
             if (check_seq and _svtype(t) == "INS"
                     and len(t.alt) > 1 and len(c.alt) > 1
                     and not t.alt.startswith("<")

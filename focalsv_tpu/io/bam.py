@@ -290,17 +290,19 @@ def _encode_tags(tags: dict) -> bytes:
 
 
 class LazyTagsBamRecord(BamRecord):
-    """BamRecord whose tags parse on first access from the raw tag bytes.
+    """BamRecord whose tags (and name) decode on first access from raw
+    byte slices.
 
     The batch parser (native/bamparse.cpp) leaves tags as a byte slice;
     most consumers never read them (tags matter only for SA splits and
     HP/PS phasing artifacts), so the ~per-tag Python decode loop is paid
-    only where it's used."""
+    only where it's used.  Names likewise stay as buffer views until a
+    consumer (FP-filter qname pairing, artifact writers) asks."""
 
     @property
     def tags(self) -> dict:
         t = self.__dict__.get("_tags")
-        if isinstance(t, (bytes, memoryview)):
+        if isinstance(t, (bytes, memoryview, np.ndarray)):
             t = _parse_tags(bytes(t))
             self.__dict__["_tags"] = t
         return t if t is not None else {}
@@ -308,6 +310,18 @@ class LazyTagsBamRecord(BamRecord):
     @tags.setter
     def tags(self, v):
         self.__dict__["_tags"] = v
+
+    @property
+    def name(self) -> str:
+        n = self.__dict__.get("_name")
+        if not isinstance(n, str):
+            n = bytes(n).decode("ascii", "replace")
+            self.__dict__["_name"] = n
+        return n
+
+    @name.setter
+    def name(self, v):
+        self.__dict__["_name"] = v
 
 
 def records_from_batch(data, parsed) -> list[BamRecord]:
@@ -335,13 +349,12 @@ def records_from_batch(data, parsed) -> list[BamRecord]:
         to, tn = tags_off[i], tags_len[i]
         cig = cig_out[co: co + nc]
         rec = LazyTagsBamRecord(
-            name=bytes(data[name_off[i]: name_off[i] + name_len[i]]
-                       ).decode("ascii", "replace"),
+            name=data[name_off[i]: name_off[i] + name_len[i]],
             flag=int(flag[i]), ref_id=int(rid[i]), pos=int(pos[i]),
             mapq=int(mapq[i]),
             cigar=cig, seq=seq_out[so: so + ls],
             qual=qual_out[so: so + ls],
-            tags=bytes(data[to: to + tn]) if tn else {},
+            tags=data[to: to + tn] if tn else {},
             next_ref_id=int(nref[i]), next_pos=int(npos[i]),
             tlen=int(tl[i]))
         rec._refend_memo = (cig, int(ref_lens[i]))

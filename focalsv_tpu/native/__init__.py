@@ -80,13 +80,17 @@ def get_parse_lib():
     if not os.path.exists(_PARSE_SO) or (
             os.path.exists(_PARSE_SRC)
             and os.path.getmtime(_PARSE_SRC) > os.path.getmtime(_PARSE_SO)):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread", _PARSE_SRC,
-                 "-o", _PARSE_SO, "-lz"],
-                check=True, capture_output=True, timeout=120)
+        base = ["g++", "-O3", "-shared", "-fPIC", "-pthread", _PARSE_SRC,
+                "-o", _PARSE_SO]
+        try:   # libdeflate inflate is 2-3x zlib's; fall back when absent
+            subprocess.run(base + ["-DHAVE_LIBDEFLATE", "-lz", "-ldeflate"],
+                           check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            try:
+                subprocess.run(base + ["-lz"], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
     try:
         lib = ctypes.CDLL(_PARSE_SO)
         u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -567,6 +567,10 @@ int64_t cigar_sigs_fill(const int64_t* cig_ptrs, const int32_t* n_cigs,
 #include <thread>
 #include <vector>
 
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 namespace {
 
 struct BgzfBlock {
@@ -615,8 +619,8 @@ int64_t bgzf_index(const uint8_t* raw, int64_t n,
     return usize;
 }
 
-bool inflate_one(const uint8_t* src, int64_t src_len,
-                 uint8_t* dst, int64_t dst_len) {
+bool inflate_one_zlib(const uint8_t* src, int64_t src_len,
+                      uint8_t* dst, int64_t dst_len) {
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, -15) != Z_OK) return false;
@@ -630,6 +634,31 @@ bool inflate_one(const uint8_t* src, int64_t src_len,
     inflateEnd(&zs);
     return ok;
 }
+
+#ifdef HAVE_LIBDEFLATE
+// libdeflate's raw-deflate decoder is 2-3x faster than zlib's (it is what
+// htslib links for BGZF); one decompressor object per worker stripe.
+struct Inflater {
+    libdeflate_decompressor* d;
+    Inflater() : d(libdeflate_alloc_decompressor()) {}
+    ~Inflater() { if (d) libdeflate_free_decompressor(d); }
+    bool run(const uint8_t* src, int64_t src_len,
+             uint8_t* dst, int64_t dst_len) {
+        if (!d) return inflate_one_zlib(src, src_len, dst, dst_len);
+        size_t actual = 0;
+        const libdeflate_result rc = libdeflate_deflate_decompress(
+            d, src, (size_t)src_len, dst, (size_t)dst_len, &actual);
+        return rc == LIBDEFLATE_SUCCESS && (int64_t)actual == dst_len;
+    }
+};
+#else
+struct Inflater {
+    bool run(const uint8_t* src, int64_t src_len,
+             uint8_t* dst, int64_t dst_len) {
+        return inflate_one_zlib(src, src_len, dst, dst_len);
+    }
+};
+#endif
 
 }  // namespace
 
@@ -655,11 +684,12 @@ int64_t bgzf_inflate_all(const uint8_t* raw, int64_t n,
     std::vector<uint8_t> ok(nt, 1);
     auto work = [&](int64_t t) {
         // contiguous stripes: each thread's writes are one dst range
+        Inflater inf;
         const int64_t lo = t * nb / nt, hi = (t + 1) * nb / nt;
         for (int64_t i = lo; i < hi; i++) {
             const BgzfBlock& b = blocks[i];
-            if (!inflate_one(raw + b.cdata_off, b.cdata_len,
-                             out + b.uoff, b.ulen)) {
+            if (!inf.run(raw + b.cdata_off, b.cdata_len,
+                         out + b.uoff, b.ulen)) {
                 ok[t] = 0;
                 return;
             }
