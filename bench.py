@@ -60,7 +60,8 @@ def _spread(times: list[float]) -> dict:
             "n_passes": len(ts)}
 
 
-def run_device_mode_mp(jobs, cfg, n_children: int, repeats: int = 5):
+def run_device_mode_mp(jobs, cfg, n_children: int, repeats: int = 5,
+                       mesh=None):
     """The production path with the multi-process host pipeline
     (pipeline/mp_exec.py): worker processes build tiles and finish regions
     GIL-free; the parent owns the device.
@@ -69,7 +70,7 @@ def run_device_mode_mp(jobs, cfg, n_children: int, repeats: int = 5):
     from focalsv_tpu.pipeline.mp_exec import MpRegionExecutor
 
     passes = []
-    with MpRegionExecutor(cfg, n_children=n_children) as ex:
+    with MpRegionExecutor(cfg, n_children=n_children, mesh=mesh) as ex:
         t0 = time.perf_counter()
         ex.run(jobs, collect="count")      # compiles + warms every bucket
         cold_s = time.perf_counter() - t0
@@ -276,6 +277,16 @@ def main():
     ap.add_argument("--dtype", default="HIFI")
     ap.add_argument("--mode", default="device", choices=["device", "host"])
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--mesh", default=None, metavar="NxM",
+                    help="run the device step sharded over an NxM "
+                         "{hosts x chips} mesh (one flat 'regions' axis of "
+                         "N*M devices).  Ready-to-run pod driver: on a "
+                         "multi-host slice, start one process per host "
+                         "with jax.distributed initialized (e.g. via "
+                         "JAX_COORDINATOR_ADDRESS / launcher env) and "
+                         "pass the full slice shape; single-host multi-"
+                         "chip needs no setup.  Chunks batch-pad to the "
+                         "mesh size; per-chip throughput = value / chips.")
     ap.add_argument("--mp", type=int, default=3, metavar="N",
                     help="device mode: N host worker processes (mp_exec); "
                          "0 = single-process thread pipeline")
@@ -288,6 +299,12 @@ def main():
     ap.add_argument("--jobs-dir", default=None,
                     help="reuse pre-simulated region inputs from this dir")
     args = ap.parse_args()
+
+    if os.environ.get("FOCALSV_FORCE_CPU"):
+        # the image's sitecustomize pins the axon TPU platform regardless
+        # of JAX_PLATFORMS; this is the escape hatch (virtual-mesh runs)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from focalsv_tpu.config import preset
 
@@ -339,9 +356,29 @@ def main():
         except (json.JSONDecodeError, KeyError):
             continue
 
+    mesh = None
+    n_chips = 1
+    if args.mesh:
+        import jax
+
+        from focalsv_tpu.parallel.mesh import make_mesh
+        dims = [int(x) for x in args.mesh.lower().split("x")]
+        n_chips = 1
+        for d in dims:
+            n_chips *= d
+        avail = len(jax.devices())
+        if n_chips > avail:
+            print(f"# --mesh {args.mesh} needs {n_chips} devices, "
+                  f"only {avail} visible -- set "
+                  f"XLA_FLAGS=--xla_force_host_platform_device_count or "
+                  f"run on the pod slice", file=sys.stderr)
+            sys.exit(2)
+        mesh = make_mesh(n_chips)
+
     if args.mp:
         pass_s, n_records, st = run_device_mode_mp(jobs, cfg, args.mp,
-                                                   repeats=args.repeats)
+                                                   repeats=args.repeats,
+                                                   mesh=mesh)
     else:
         dt_best, n_records, st = run_device_mode(jobs, cfg, args.workers,
                                                  repeats=args.repeats)
@@ -351,15 +388,19 @@ def main():
     rps = dev_spread["median"]
     dt = args.regions / rps
     vs = round(rps / baseline_rps, 3) if baseline_rps else None
-    print(json.dumps({
+    out = {
         "metric": "regions_per_sec_per_chip",
-        "value": rps,
+        "value": round(rps / n_chips, 3),
         "unit": "regions/s",
         "vs_baseline": vs,
         "device": dev_spread,
         "baseline": baseline_spread or {"median": baseline_rps},
         "cold_start_s": round(st.get("cold_s", 0), 1),
-    }))
+    }
+    if mesh is not None:
+        out["mesh"] = args.mesh
+        out["regions_per_sec_all_chips"] = rps
+    print(json.dumps(out))
     busy_frac = min(1.0, st.get("device_busy_s", 0.0) / dt) if dt else 0.0
     print(f"# device mode: {args.regions} regions in {dt:.2f}s "
           f"({n_records} records); stage thread-seconds: "

@@ -714,9 +714,6 @@ def sharded_phase_consensus_delta_flat(buf, mesh, *, G, R, L, Ds, Dd, **kw):
     per-device slice is a valid delta_flat_layout of G/n_dev regions only
     when every section's G-stride divides evenly, which pack_delta_chunk's
     G-major layout does NOT -- so shard by re-packing per device)."""
-    from jax.sharding import PartitionSpec as P
-
-    from focalsv_tpu.parallel.mesh import DATA_AXIS
     n = mesh.size
     assert G % n == 0, (G, n)
     Gd = G // n
@@ -733,16 +730,54 @@ def sharded_phase_consensus_delta_flat(buf, mesh, *, G, R, L, Ds, Dd, **kw):
             segs.append(buf[a + d * Gd * per : a + (d + 1) * Gd * per])
         parts.append(np.concatenate(segs))
     dev_buf = np.stack(parts)          # (n, bytes_per_device)
+    fn = _sharded_flat_fn(mesh, "delta",
+                          (("G", Gd), ("R", R), ("L", L), ("Ds", Ds),
+                           ("Dd", Dd)) + tuple(sorted(kw.items())))
+    return fn(dev_buf).reshape(G, -1)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_flat_fn(mesh, kind: str, params: tuple):
+    """Cached jitted shard_map of a flat region-step entry.
+
+    Rebuilding the shard_map callable per dispatch retraced AND recompiled
+    the whole sharded program every call (measured 18x the steady-state
+    dispatch wall on the virtual mesh); the cache keys on (mesh, kind,
+    static params) so repeat dispatches hit the compiled executable."""
+    from jax.sharding import PartitionSpec as P
+
+    from focalsv_tpu.parallel.mesh import DATA_AXIS
+    kw = dict(params)
+    inner = (phase_consensus_delta_flat if kind == "delta"
+             else phase_consensus_rows_flat)
     spec = P(DATA_AXIS)
-    fn = jax.shard_map(
-        lambda bb: phase_consensus_delta_flat(bb[0], G=Gd, R=R, L=L,
-                                              Ds=Ds, Dd=Dd, **kw),
+    return jax.jit(jax.shard_map(
+        lambda bb: inner(bb[0], **kw),
         mesh=mesh,
         in_specs=(spec,),
         out_specs=spec,
         check_vma=False,
-    )
-    return fn(dev_buf).reshape(G, -1)
+    ))
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_generic_fn(mesh, entry_name: str, n_args: int, n_out,
+                        params: tuple):
+    """Cached jitted shard_map of a non-flat entry (same retrace hazard as
+    _sharded_flat_fn; these power the dryrun and test paths)."""
+    from jax.sharding import PartitionSpec as P
+
+    from focalsv_tpu.parallel.mesh import DATA_AXIS
+    kw = dict(params)
+    inner = globals()[entry_name]
+    spec = P(DATA_AXIS)
+    return jax.jit(jax.shard_map(
+        lambda *a: inner(*a, **kw),
+        mesh=mesh,
+        in_specs=(spec,) * n_args,
+        out_specs=(spec,) * n_out if n_out else spec,
+        check_vma=False,
+    ))
 
 
 def sharded_phase_consensus_delta(args: tuple, mesh, *, L, **kw):
@@ -866,9 +901,6 @@ def phase_consensus_rows_flat(
 def sharded_phase_consensus_rows_flat(buf, mesh, *, G, R, L, W, **kw):
     """phase_consensus_rows_flat sharded over the mesh's regions axis
     (per-device re-pack, as sharded_phase_consensus_delta_flat)."""
-    from jax.sharding import PartitionSpec as P
-
-    from focalsv_tpu.parallel.mesh import DATA_AXIS
     n = mesh.size
     assert G % n == 0, (G, n)
     Gd = G // n
@@ -882,15 +914,9 @@ def sharded_phase_consensus_rows_flat(buf, mesh, *, G, R, L, W, **kw):
             segs.append(buf[a + d * Gd * per : a + (d + 1) * Gd * per])
         parts.append(np.concatenate(segs))
     dev_buf = np.stack(parts)
-    spec = P(DATA_AXIS)
-    fn = jax.shard_map(
-        lambda bb: phase_consensus_rows_flat(bb[0], G=Gd, R=R, L=L, W=W,
-                                             **kw),
-        mesh=mesh,
-        in_specs=(spec,),
-        out_specs=spec,
-        check_vma=False,
-    )
+    fn = _sharded_flat_fn(mesh, "rows",
+                          (("G", Gd), ("R", R), ("L", L), ("W", W))
+                          + tuple(sorted(kw.items())))
     return fn(dev_buf).reshape(G, -1)
 
 
@@ -928,17 +954,8 @@ def phase_consensus_kwargs(phasing_cfg) -> dict:
 
 def sharded_phase_consensus(mat, read_valid, mesh, **kw):
     """phase_consensus_batch sharded over the mesh's regions axis."""
-    from jax.sharding import PartitionSpec as P
-
-    from focalsv_tpu.parallel.mesh import DATA_AXIS
-    spec = P(DATA_AXIS)
-    fn = jax.shard_map(
-        lambda m, rv: phase_consensus_batch(m, rv, **kw),
-        mesh=mesh,
-        in_specs=(spec, spec),
-        out_specs=(spec,) * 6,
-        check_vma=False,
-    )
+    fn = _sharded_generic_fn(mesh, "phase_consensus_batch", 2, 6,
+                             tuple(sorted(kw.items())))
     return fn(mat, read_valid)
 
 
