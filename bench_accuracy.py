@@ -154,7 +154,7 @@ def make_case(seed: int, case: str, err: dict, ref_len: int = 30_000,
 
 
 def _child_init(dtype: str, pairhmm: bool = False,
-                assembly: str = "guided"):
+                assembly: str = "guided", post_refine: bool = False):
     import dataclasses
 
     import jax
@@ -169,6 +169,7 @@ def _child_init(dtype: str, pairhmm: bool = False,
                                                        method=assembly))
     _state["cfg"] = cfg
     _state["dtype"] = dtype
+    _state["post_refine"] = post_refine
 
 
 def _child_run(args):
@@ -179,10 +180,39 @@ def _child_run(args):
     region = make_case(seed, case, err)
     res = process_region(region.reads, region.ref, 0, region.chrom,
                          _state["cfg"])
+    records = res.records
+    if _state.get("post_refine"):
+        records = _apply_refine(records, region)
     truth = truth_from_sim(region.svs, region.chrom, region.ref)
-    b = match_records(res.records, truth,
+    b = match_records(records, truth,
                       check_seq=(_state["dtype"] == "HIFI"))
     return b.tp, b.fp, b.fn, b.gt_correct, b.gt_total
+
+
+def _apply_refine(records, region):
+    """The chromosome-level step-5 refine stack (signature support ->
+    coverage bands -> dtype GT correction / imputation / ONT final
+    process), applied with this region as the chromosome -- the same
+    refine_records call process_chromosome makes (pipeline/main.py).
+
+    The per-region sweep otherwise excludes exactly the stage the
+    reference uses to rescue noisy-dtype assembly FPs
+    (5_post_processing/GT_impute.py, ONT_var_process.py:34-45)."""
+    from focalsv_tpu.refine.driver import refine_records
+    from focalsv_tpu.scan.read_scan import (calls_to_vcf, cluster_signatures,
+                                            normalize_scan_result,
+                                            scan_records)
+    cfg = _state["cfg"]
+    scan = scan_records(iter(region.reads), cfg.read_scan)
+    normalize_scan_result(scan, region.ref)
+    calls = cluster_signatures(scan.del_sigs, region.chrom, "DEL",
+                               cfg.read_scan, scan, True)
+    calls += cluster_signatures(scan.ins_sigs, region.chrom, "INS",
+                                cfg.read_scan, scan, True)
+    calls.sort(key=lambda c: c.pos)
+    draft = calls_to_vcf(calls, region.ref, 0)
+    refined, _dropped = refine_records(records, scan, draft, cfg)
+    return refined
 
 
 def main():
@@ -196,6 +226,10 @@ def main():
                     help="enable pair-HMM het-site realignment")
     ap.add_argument("--assembly", choices=["guided", "olc"],
                     default="guided", help="local assembly mode")
+    ap.add_argument("--post-refine", action="store_true",
+                    help="apply the chromosome-level step-5 refine stack "
+                         "(coverage bands + GT impute/correct + ONT final "
+                         "process) before scoring")
     args = ap.parse_args()
 
     import multiprocessing as mp
@@ -208,10 +242,12 @@ def main():
             if args.procs > 1:
                 with ctx.Pool(args.procs, initializer=_child_init,
                               initargs=(dtype, args.pairhmm,
-                                        args.assembly)) as pool:
+                                        args.assembly,
+                                        args.post_refine)) as pool:
                     rows = pool.map(_child_run, jobs)
             else:
-                _child_init(dtype, args.pairhmm, args.assembly)
+                _child_init(dtype, args.pairhmm, args.assembly,
+                            args.post_refine)
                 rows = [_child_run(j) for j in jobs]
             tp, fp, fn, gt_c, gt_t = (sum(r[i] for r in rows) for i in range(5))
             for i, v in enumerate((tp, fp, fn, gt_c, gt_t)):

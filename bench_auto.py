@@ -22,6 +22,68 @@ import tempfile
 import time
 
 
+def build_genome_chunked(tmp, n_chroms, chrom_len, coverage, svs_per_chrom,
+                         dtype, chunk: int = 2_000_000):
+    """Large-chromosome builder: simulate in ``chunk``-bp windows and
+    stream records straight into the BAM so the BUILDER's memory never
+    holds the genome's reads -- at >=40 Mb the peak-RSS gate must measure
+    the pipeline, not the fixture factory.  Reads near chunk boundaries
+    simply don't span them (a simulation-only artifact; SVs sit in chunk
+    interiors)."""
+    import numpy as np
+
+    from focalsv_tpu.evaluation.compare import truth_from_sim
+    from focalsv_tpu.io import bam as bamio
+    from focalsv_tpu.io.fasta import write_fasta
+    from focalsv_tpu.testing import simulate as sim
+
+    err = {"HIFI": dict(sub_rate=0.002),
+           "CLR": dict(sub_rate=0.06, ins_rate=0.03, del_rate=0.03),
+           "ONT": dict(sub_rate=0.04, ins_rate=0.02, del_rate=0.02)}[dtype]
+    rng = np.random.default_rng(4242)
+    names = [f"chr{ci + 1}" for ci in range(n_chroms)]
+    bam_path = os.path.join(tmp, "wgs.bam")
+    w = bamio.BamWriter(bam_path, names, [chrom_len] * n_chroms)
+    truth = []
+    refs = []
+    n_chunks = -(-chrom_len // chunk)
+    svs_per_chunk = max(1, svs_per_chrom // n_chunks)
+    for ci, name in enumerate(names):
+        parts = []
+        for ki in range(n_chunks):
+            off = ki * chunk
+            clen = min(chunk, chrom_len - off)
+            svs = []
+            span = max((clen - 40_000) // max(svs_per_chunk, 1), 10_000)
+            for si in range(svs_per_chunk):
+                pos = 20_000 + si * span + int(rng.integers(0, span - 8_000))
+                if pos >= clen - 20_000:
+                    break
+                length = int(np.exp(rng.uniform(np.log(60), np.log(3_000))))
+                svtype = "DEL" if rng.random() < 0.5 else "INS"
+                gt = "0/1" if rng.random() < 0.5 else "1/1"
+                seq = (rng.integers(0, 4, length).astype(np.uint8)
+                       if svtype == "INS" else None)
+                svs.append(sim.SimSV(svtype, pos, length, gt, seq=seq))
+            region = sim.simulate_region(
+                seed=9000 + 1000 * ci + ki, ref_len=clen, coverage=coverage,
+                n_snps=clen // 1_200, svs=svs, chrom=name, **err)
+            for rec in region.reads:
+                rec.ref_id = ci
+                rec.pos += off
+                w.write(rec)
+            truth.extend(truth_from_sim(region.svs, name, region.ref,
+                                        ref_offset=off))
+            parts.append(region.ref)
+            del region
+        refs.append((name, np.concatenate(parts)))
+    w.close()
+    bamio.build_bai(bam_path)
+    ref_path = os.path.join(tmp, "ref.fa")
+    write_fasta(ref_path, refs)
+    return bam_path, ref_path, truth
+
+
 def build_genome(tmp, n_chroms, chrom_len, coverage, svs_per_chrom, dtype):
     import numpy as np
 
@@ -30,6 +92,9 @@ def build_genome(tmp, n_chroms, chrom_len, coverage, svs_per_chrom, dtype):
     from focalsv_tpu.io.fasta import write_fasta
     from focalsv_tpu.testing import simulate as sim
 
+    if chrom_len > 2_000_000:
+        return build_genome_chunked(tmp, n_chroms, chrom_len, coverage,
+                                    svs_per_chrom, dtype)
     err = {"HIFI": dict(sub_rate=0.002),
            "CLR": dict(sub_rate=0.06, ins_rate=0.03, del_rate=0.03),
            "ONT": dict(sub_rate=0.04, ins_rate=0.02, del_rate=0.02)}[dtype]
@@ -99,6 +164,10 @@ def main():
     ap.add_argument("--svs-per-chrom", type=int, default=6)
     ap.add_argument("--dtype", default="HIFI")
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the fast_scan-vs-Python rescan parity check "
+                         "(the Python rescan is O(genome) and dominates at "
+                         ">=10 Mb; parity is gated at small scale)")
     args = ap.parse_args()
 
     from focalsv_tpu.config import preset
@@ -114,7 +183,11 @@ def main():
                                    args.dtype)
     genome_bp = args.chroms * args.chrom_len
 
-    parity, scan_dt = scan_parity_check(bam, cfg)
+    genome_too_big = args.chroms * args.chrom_len > 8_000_000
+    if args.no_parity or genome_too_big:
+        parity, scan_dt = None, 0.0
+    else:
+        parity, scan_dt = scan_parity_check(bam, cfg)
 
     out = os.path.join(tmp, "out")
     t0 = time.perf_counter()

@@ -174,18 +174,84 @@ def _cluster_insertions(
     return out
 
 
+def renormalize_del_events(mat: np.ndarray, min_len: int = 30,
+                           dist: int = 64, min_frac: float = 0.3,
+                           min_support: int = 3) -> None:
+    """Re-anchor per-read SV-grade deletion runs onto their cluster's
+    consensus placement (in place).
+
+    Noisy reads (CLR/ONT de-novo OLC) place the same deletion at
+    different tandem-unit offsets; the column vote then only agrees on
+    the runs' INTERSECTION and the consensus deletion comes out
+    fragments short (the dominant OLC repeat-class failure).  Clustering
+    the per-read runs (start within ``dist``, len >= min_len) and moving
+    each member read's deleted cells to the cluster's median-length /
+    median-start placement lets the ordinary column vote recover the
+    full-length event.  Reads with consistent placements (guided mode's
+    truth-derived alignments) form clusters that already coincide with
+    their own runs, making this a no-op there."""
+    isdel = mat == DEL_SYM
+    n, L = mat.shape
+    events = []                                   # (start, length, read)
+    for r in range(n):
+        d = np.diff(np.concatenate([[0], isdel[r].astype(np.int8), [0]]))
+        for a, b in zip(np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]):
+            if b - a >= min_len:
+                events.append((int(a), int(b - a), r))
+    if not events:
+        return
+    events.sort()
+    clusters: list[list[tuple[int, int, int]]] = [[events[0]]]
+    for ev in events[1:]:
+        if ev[0] - clusters[-1][-1][0] <= dist:
+            clusters[-1].append(ev)
+        else:
+            clusters.append([ev])
+    valid = mat != NOCOV
+    for cl in clusters:
+        readset = {r for _, _, r in cl}
+        lo = min(a for a, _, _ in cl)
+        hi = max(a + ln for a, ln, _ in cl)
+        lo_c = max(0, lo - 30)
+        hi_c = min(L - 1, hi + 30)
+        local_cov = max(int((valid[:, lo_c] & valid[:, hi_c]).sum()), 1)
+        if len(readset) < max(min_support,
+                              int(np.ceil(min_frac * local_cov))):
+            continue
+        # one observation per READ: a noisy alignment splits its deletion
+        # into several nearby runs (many below min_len), so the read's
+        # evidence is its TOTAL deleted columns across the cluster window
+        # (median over per-run lengths systematically undercalls)
+        wlo = max(0, lo - dist)
+        whi = min(L, hi + dist)
+        readset = sorted(readset)
+        starts = np.array([min(a for a, _, r2 in cl if r2 == r)
+                           for r in readset])
+        lens = np.array([int(isdel[r, wlo:whi].sum()) for r in readset])
+        s_star = int(np.median(starts))
+        l_star = int(np.median(lens))
+        e_star = min(s_star + l_star, L)
+        for r in readset:                  # withdraw the scattered votes
+            win = mat[r, wlo:whi]
+            win[win == DEL_SYM] = NOCOV
+        for r in readset:
+            span = valid[r, s_star:e_star]
+            mat[r, s_star:e_star][span] = DEL_SYM
+
+
 def decide_insertions(
     valid: np.ndarray,                       # (n, L) bool: read covers column
     inss: list[tuple[int, int, np.ndarray]],
     region_len: int,
     min_ins_frac: float = 0.4,
     min_ins_support: int = 2,
+    cluster_dist: int = 20,
 ) -> dict[int, np.ndarray]:
     """Insertion-consensus decision: position-cluster the I events and keep
     clusters supported by >= min_ins_frac of the SPANNING local depth (a read
     clipped inside the inserted sequence cannot express the I op, so raw
     column coverage under-votes large INS).  Returns {column: medoid seq}."""
-    ins_clusters = _cluster_insertions(inss)
+    ins_clusters = _cluster_insertions(inss, max_dist=cluster_dist)
     ins_at: dict[int, np.ndarray] = {}
     for pos, seqs in ins_clusters:
         lo = max(0, pos - 30)
@@ -509,11 +575,13 @@ def consensus_contig(
     min_ins_frac: float = 0.4,
     min_ins_support: int = 2,
     own: set[int] | None = None,
+    event_cluster_dist: int | None = None,
 ) -> np.ndarray | None:
     """Build one haplotype consensus contig over the region window."""
     contig, _ = consensus_contig_segments(reads, idxs, region_start,
                                           region_len, cfg, min_ins_frac,
-                                          min_ins_support, own)
+                                          min_ins_support, own,
+                                          event_cluster_dist)
     return contig
 
 
@@ -524,15 +592,23 @@ def consensus_contig_segments(
     min_ins_frac: float = 0.4,
     min_ins_support: int = 2,
     own: set[int] | None = None,
+    event_cluster_dist: int | None = None,
 ) -> tuple[np.ndarray | None, list]:
     """consensus_contig plus its implied alignment segments
-    (stitch_contig_segments)."""
+    (stitch_contig_segments).
+
+    ``event_cluster_dist``: widen indel-evidence clustering for noisy
+    placements (the de-novo OLC polish passes ~a tandem unit; see
+    renormalize_del_events)."""
     if len(idxs) < cfg.min_reads:
         return None, []
     mat, inss = pileup_with_dels(reads, idxs, region_start, region_len)
+    if event_cluster_dist:
+        renormalize_del_events(mat, dist=event_cluster_dist)
     sym, cov = _column_vote(mat)
     ins_at = decide_insertions(mat != NOCOV, inss, region_len,
-                               min_ins_frac, min_ins_support)
+                               min_ins_frac, min_ins_support,
+                               cluster_dist=event_cluster_dist or 20)
     ins_at = add_clip_insertions(ins_at, reads, idxs, region_start,
                                  region_len, own=own, valid=mat != NOCOV,
                                  cfg=cfg)

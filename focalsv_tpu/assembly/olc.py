@@ -279,9 +279,69 @@ def layout_reads(seqs: list[np.ndarray],
                     placed[o] = placed[r] + shift
                     nxt.append(o)
         frontier = nxt
+    # relaxation sweeps: BFS takes each read's offset from ONE parent, so
+    # per-edge shift noise accumulates along chains -- across a tandem
+    # array the drift reaches unit multiples and the stitched draft
+    # collapses repeat copies.  Re-estimating every offset as the median
+    # over ALL placed neighbors converges the layout to the consistent
+    # solution the full edge set implies (hifiasm's graph cleaning plays
+    # this role).
+    for _ in range(3):
+        moved = 0
+        for r in placed:
+            est = [placed[o] - shift for _, o, shift in adj.get(r, ())
+                   if o in placed]
+            if len(est) >= 2:
+                m = int(np.median(est))
+                if m != placed[r]:
+                    placed[r] = m
+                    moved += 1
+        if not moved:
+            break
     base = min(placed.values())
     return sorted(((r, off - base) for r, off in placed.items()),
                   key=lambda x: x[1])
+
+
+def _anchor_offsets(seqs: list[np.ndarray], layout: list[tuple[int, int]],
+                    draft: np.ndarray, scale: float,
+                    k: int = 15, w: int = 10,
+                    min_seeds: int = 4) -> list[tuple[int, int]]:
+    """Rigid per-read placement against the current draft for the polish
+    loop: mode-clustered diffs of minimizers UNIQUE in both the read and
+    the draft (find_overlaps' anchor filtering -- repeat-array seeds recur
+    per unit copy and cannot vote).
+
+    The global scaled layout offset drifts inside tandem arrays (the first
+    draft's unit count differs from the final one), letting reads align a
+    unit off and vote the array shorter -- the dominant CLR/ONT repeat
+    failure.  A full seed-chain-extend re-placement here RAISED recall but
+    exploded FPs (round-4 reverted experiment: split/clip placements
+    fabricate breakpoints); the FP guard is rigidity -- one shift per
+    read, flanking-unique seeds only, scaled-offset fallback when fewer
+    than ``min_seeds`` agree."""
+    pd, hd, _ = minimizers(np.asarray(draft, np.uint8), k, w)
+    _, inv, cnt = np.unique(hd, return_inverse=True, return_counts=True)
+    du = cnt[inv] == 1
+    dmap = {int(h): int(p) for p, h in zip(pd[du], hd[du])}
+    out = []
+    for r, off in layout:
+        s = seqs[r]
+        fallback = int(off * scale)
+        pa, ha, _ = minimizers(s, k, w)
+        if ha.size:
+            _, inv2, cnt2 = np.unique(ha, return_inverse=True,
+                                      return_counts=True)
+            ru = cnt2[inv2] == 1
+            diffs = [dmap[int(h)] - int(p)
+                     for p, h in zip(pa[ru], ha[ru]) if int(h) in dmap]
+        else:
+            diffs = []
+        if len(diffs) >= min_seeds:
+            out.append((r, _mode_shift(diffs)))
+        else:
+            out.append((r, fallback))
+    return out
 
 
 def consensus_from_layout(
@@ -292,23 +352,29 @@ def consensus_from_layout(
 
     Each read is re-aligned (banded) to its window of the draft -- the
     offset-stitched read mosaic on the first pass, or the previous round's
-    contig when ``draft`` is given (the racon polish loop) -- and votes per
-    draft column with deletion/insertion awareness.
+    contig when ``draft`` is given (the racon polish loop, with per-read
+    anchored placement: _anchor_offsets) -- and votes per draft column
+    with deletion/insertion awareness.
     """
     if not layout:
         return None
     stitched_len = max(off + len(seqs[r]) for r, off in layout)
+    anchored = None
     if draft is None:
         draft = np.full(stitched_len, 4, np.uint8)
         for r, off in layout:
             draft[off : off + len(seqs[r])] = seqs[r]
+    else:
+        anchored = _anchor_offsets(seqs, layout, draft,
+                                   len(draft) / max(stitched_len, 1))
     draft_len = len(draft)
     scale = draft_len / max(stitched_len, 1)
     from focalsv_tpu.assembly.consensus import consensus_contig
     recs = []
-    for r, off in layout:
+    for li, (r, off) in enumerate(layout):
         s = seqs[r]
-        off = int(off * scale)
+        off = anchored[li][1] if anchored is not None else int(off * scale)
+        off = max(-len(s) + 50, min(off, draft_len - 50))
         win_a = max(0, off - 64)
         win_b = min(draft_len, off + len(s) + 64)
         tseg = draft[win_a:win_b]
@@ -329,7 +395,10 @@ def consensus_from_layout(
             qual=np.full(len(s), 40, np.uint8)))
     if not recs:
         return None
-    return consensus_contig(recs, list(range(len(recs))), 0, draft_len)
+    # noisy de-novo placements scatter one indel event across tandem-unit
+    # offsets; cluster evidence at unit scale (renormalize_del_events)
+    return consensus_contig(recs, list(range(len(recs))), 0, draft_len,
+                            event_cluster_dist=64)
 
 
 def assemble_olc(

@@ -11,6 +11,8 @@ carry the anchor base + event sequence).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from focalsv_tpu.align_engine import Aligner
@@ -71,7 +73,8 @@ def paired_sig_to_vcf(
     contigs = dict(contigs_hp1)
     contigs.update(contigs_hp2)
     from focalsv_tpu.ops.normalize import (left_align_del,
-                                           left_align_ins_approx)
+                                           left_align_ins_approx,
+                                           snap_indel_to_unit)
     records: list[VcfRecord] = []
     counters = {DEL: 0, INS: 0}
     for sig in paired:
@@ -79,7 +82,14 @@ def paired_sig_to_vcf(
         if pos0 < 1 or pos0 >= len(ref):
             continue
         if sig.svtype == DEL and pos0 + sig.svlen <= len(ref):
-            # canonical leftmost placement (repeat-ambiguous indels)
+            # unit-aware length canonicalization first (a noisy consensus
+            # measures whole-unit array contractions a fraction of a unit
+            # short, which strands the call mid-array: non-multiple
+            # lengths are not rotation-invariant), then the leftmost
+            # equivalent placement
+            snapped = snap_indel_to_unit(ref, pos0, sig.svlen)
+            if snapped != sig.svlen and pos0 + snapped <= len(ref):
+                sig = dataclasses.replace(sig, svlen=snapped)
             pos0 = left_align_del(ref, pos0, sig.svlen)
         anchor = enc.decode(ref[pos0 - 1 : pos0])
         if sig.svtype == DEL:
@@ -103,6 +113,13 @@ def paired_sig_to_vcf(
             ins_seq = stored[sig.rstart : sig.rend]
             if len(ins_seq) == 0:
                 continue
+            snapped = snap_indel_to_unit(ref, pos0, len(ins_seq))
+            if snapped != len(ins_seq) and pos0 + snapped <= len(ref):
+                # whole-unit array expansion measured a fraction of a
+                # unit off: rebuild the insertion as unit copies from the
+                # (periodic) reference so rotation reaches the array start
+                ins_seq = np.asarray(ref[pos0 : pos0 + snapped],
+                                     np.uint8).copy()
             pos0, ins_seq = left_align_ins_approx(ref, pos0, ins_seq)
             anchor = enc.decode(ref[pos0 - 1 : pos0])
             ref_allele = anchor

@@ -79,3 +79,89 @@ def left_align_ins_approx(ref: np.ndarray, pos: int, seq: np.ndarray,
         s = (np.concatenate([ref[p:p0], s[: n - k]]).astype(np.uint8)
              if k < n else np.asarray(ref[p : p + n], np.uint8).copy())
     return p, s
+
+
+def ref_period(ref: np.ndarray, pos: int, length: int,
+               max_period: int = 200, min_sim: float = 0.92) -> int:
+    """Smallest period p (2..max_period) such that the reference around
+    the event -- window [pos - 2p, pos + length + 2p], i.e. the event
+    plus two unit copies of margin each side -- is p-periodic; 0 when
+    aperiodic.
+
+    The margin scales WITH the candidate period: a fixed window dilutes
+    agreement with non-array flank whenever the event sits near an array
+    boundary (exactly where noisy calls land).  Candidate periods come
+    from one FFT autocorrelation over event-anchored windows (a 200-lag
+    exact scan per call would cost ~0.6 ms on every non-array record);
+    each candidate is then exact-verified with its own scaled window."""
+    n = len(ref)
+    W = min(length + 240, 2000)
+    cands: set[int] = set()
+    for lo, hi in ((pos, pos + W), (pos - W, pos)):
+        lo = max(0, lo)
+        hi = min(n, hi)
+        if hi - lo < 12:
+            continue
+        win = np.asarray(ref[lo:hi])
+        m = win.shape[0]
+        oh = (win[:, None] == np.arange(4, dtype=win.dtype)).astype(
+            np.float32)
+        f = np.fft.rfft(oh, 2 * m, axis=0)
+        ac = np.fft.irfft(f * np.conj(f), 2 * m, axis=0)[:m].sum(1)
+        frac = ac / np.maximum(m - np.arange(m), 1)
+        top = min(max_period, m // 3) + 1
+        if top > 2:
+            cands.update(int(p) for p in
+                         np.nonzero(frac[2:top] >= min_sim * 0.95)[0] + 2)
+    for p in sorted(cands):
+        lo = max(0, pos - 2 * p)
+        hi = min(n, pos + length + 2 * p)
+        w = hi - lo
+        if w < 3 * p or w <= p:
+            continue
+        win = np.asarray(ref[lo:hi])
+        if float((win[: w - p] == win[p:]).mean()) >= min_sim:
+            return p
+    return 0
+
+
+def snap_indel_to_unit(ref: np.ndarray, pos: int, svlen: int,
+                       max_unit: int = 200) -> int:
+    """Snap an indel length to the nearest whole multiple of the local
+    tandem-repeat unit, when the flanking reference is strongly periodic.
+
+    Inside a tandem array a true indel is (almost always) a whole-unit
+    expansion/contraction; a noisy consensus measures the length a
+    fraction of a unit off, which (a) breaks rotation left-alignment
+    (non-multiple lengths aren't shift-invariant, so the call strands
+    mid-array) and (b) can fail size-similarity against the truth.
+    Snapping applies ONLY when the event's p-scaled flank window is
+    u-periodic (ref_period) and the correction is under half a unit --
+    outside arrays this is a no-op.  Returns the (possibly snapped)
+    |length|."""
+    L = abs(int(svlen))
+    if L < 20:
+        return L
+    # cheap aperiodicity prefilter: a u<=max_unit array repeats its 8-mers
+    # every unit, so low 8-mer diversity is necessary for any snap; random
+    # flank shows ~full diversity and skips the FFT period search
+    # entirely (non-array records dominate every real callset)
+    W = min(L + 240, 1200)
+    a = max(0, pos - W // 4)
+    win = np.asarray(ref[a : a + W], np.int64)
+    if win.size >= 64:
+        km = (win[:-7] * 1 + win[1:-6] * 4 + win[2:-5] * 16 + win[3:-4] * 64
+              + win[4:-3] * 256 + win[5:-2] * 1024 + win[6:-1] * 4096
+              + win[7:] * 16384)
+        if np.unique(km).size > 0.7 * km.size:
+            return L
+    u = ref_period(ref, pos, L, max_period=max_unit)
+    if u < 3:
+        return L
+    k = int(round(L / u))
+    if k < 1:
+        return L
+    snapped = k * u
+    if snapped != L and abs(L - snapped) <= max(6, int(0.45 * u)):
+        return snapped
+    return L
