@@ -182,8 +182,40 @@ def main(argv=None) -> int:
                     help="also render heatmap PNGs (needs matplotlib)")
     pg.set_defaults(fn=cmd_grid)
 
+    pd = sub.add_parser(
+        "figdata", help="per-TP breakpoint-shift + seq-similarity rows "
+        "(FigureS31-34 Breakpoint_shift/Sequence_similarity analog)")
+    pd.add_argument("--call", "-c", required=True)
+    pd.add_argument("--truth", "-t", required=True)
+    pd.add_argument("--out_dir", required=True)
+    pd.add_argument("--sizemin", type=int, default=50)
+    pd.set_defaults(fn=cmd_figdata)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def cmd_figdata(args) -> int:
+    import os
+
+    from focalsv_tpu.evaluation.figdata import (match_detail_rows,
+                                                write_rows_csv)
+    from focalsv_tpu.io.vcf import read_vcf
+    _, calls = read_vcf(args.call)
+    _, truth = read_vcf(args.truth)
+    rows = match_detail_rows(calls, truth, sizemin=args.sizemin)
+    os.makedirs(args.out_dir, exist_ok=True)
+    out = os.path.join(args.out_dir, "tp_match_details.csv")
+    write_rows_csv(rows, out)
+    shifts = [r["shift"] for r in rows]
+    sims = [r["seq_similarity"] for r in rows if r["seq_similarity"] != ""]
+    print(json.dumps({
+        "n_tp": len(rows), "csv": out,
+        "shift_mean": round(sum(shifts) / max(len(shifts), 1), 2),
+        "seq_sim_mean": round(sum(sims) / max(len(sims), 1), 4)
+        if sims else None,
+    }))
+    return 0
 
 
 if __name__ == "__main__":

@@ -390,14 +390,9 @@ def dispatch_device_chunks(tiles: list[RegionTile], cfg: PipelineConfig,
             buckets.setdefault(key, []).append(i)
     pending: list[tuple[list[int], tuple, object]] = []
     for key, idxs in sorted(buckets.items()):
-        G_full = _batch_size(key, cfg, n_devices)
-        # small-tail batch size: a nearly-empty padded batch wastes the
-        # whole transfer; 8 keeps the extra compile shapes to one per bucket
-        G_small = max(min(G_full, 8), n_devices)
+        G = _batch_size(key, cfg, n_devices)
         c0 = 0
         while c0 < len(idxs):
-            remaining = len(idxs) - c0
-            G = G_full if remaining > G_small else G_small
             chunk = idxs[c0 : c0 + G]
             c0 += G
             res = _dispatch_one(tiles, chunk, key, G, cfg, mesh)
@@ -455,12 +450,11 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
     first_dispatch = [None]
 
     def flush(key, force: bool):
-        G_full = _batch_size(key, cfg, n_devices)
-        G_small = max(min(G_full, 8), n_devices)
+        # tails pad to the full batch shape (ONE compiled shape per
+        # bucket: the extra G_small shapes doubled cold-start cache loads)
+        G = _batch_size(key, cfg, n_devices)
         idxs = buckets.get(key, [])
-        while idxs and (len(idxs) >= G_full or force):
-            # padded batch size: one of the two compile shapes per bucket
-            G = G_full if len(idxs) > G_small else G_small
+        while idxs and (len(idxs) >= G or force):
             chunk, idxs = idxs[:G], idxs[G:]
             if first_dispatch[0] is None:
                 first_dispatch[0] = _time.perf_counter()

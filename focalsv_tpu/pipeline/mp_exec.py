@@ -232,11 +232,12 @@ class MpRegionExecutor:
         last_result = [None]
 
         def flush(key, force: bool):
-            G_full = dx._batch_size(key, cfg, n_devices)
-            G_small = max(min(G_full, 8), n_devices)
+            # tails pad to the full batch shape: a second (small) compiled
+            # shape per bucket doubled cold-start cache loads for ~ms of
+            # padded-transfer savings
+            G = dx._batch_size(key, cfg, n_devices)
             items = buckets.get(key, [])
-            while items and (len(items) >= G_full or force):
-                G = G_full if len(items) > G_small else G_small
+            while items and (len(items) >= G or force):
                 take, items = items[:G], items[G:]
                 idxs = [i for i, _ in take]
                 stubs = [s for _, s in take]

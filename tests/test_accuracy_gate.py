@@ -148,3 +148,42 @@ def test_olc_repeat_and_large_floor():
     prec = tp / max(tp + fp, 1)
     f1 = 2 * prec * rec / max(prec + rec, 1e-9)
     assert f1 >= 0.85, (tp, fp, fn)
+
+
+def test_noisy_recoverable_large_floor():
+    """The large class at its information-bound ceiling, noisy dtypes
+    (VERDICT r4 item 7): within the read-evidence bound the guided
+    pipeline must call large SVs EXACTLY -- DELs to ~47 kb and INS to
+    ~1.6x the read length (seed probe, round 5: every recoverable seed
+    passes; the rollup's large-class losses are all information-bounded
+    INS beyond ~1.8x read length, absent from a cropped region BAM for
+    the reference's samtools-view crop identically)."""
+    tp = fp = fn = 0
+    for dtype in ("CLR", "ONT"):
+        # DEL 47.3 kb hom, INS 19.2 kb, INS 8.8 kb -- all within bound
+        t, p, n = _run(dtype, "large", [4776, 4679, 4873])
+        tp, fp, fn = tp + t, fp + p, fn + n
+    assert fn == 0 and fp == 0, (tp, fp, fn)
+
+
+def test_olc_clr_repeat_floor():
+    """CLR repeat through de-novo OLC -- the round-4 weak cell (then F1
+    0.36 under the laxer no-overlap protocol): unit-snapping + deletion
+    evidence renormalization + anchored polish close these seeds under
+    the full truvari protocol (reciprocal-overlap gate included)."""
+    import dataclasses
+
+    cfg = preset("CLR")
+    cfg = cfg.replace(assembly=dataclasses.replace(cfg.assembly,
+                                                   method="olc"))
+    tp = fp = fn = 0
+    for seed in (4000, 4097, 4485, 4679):
+        region = make_case(seed, "repeat", ERR_MODELS["CLR"])
+        res = process_region(region.reads, region.ref, 0, region.chrom, cfg)
+        truth = truth_from_sim(region.svs, region.chrom, region.ref)
+        b = match_records(res.records, truth, check_seq=False)
+        tp, fp, fn = tp + b.tp, fp + b.fp, fn + b.fn
+    rec = tp / max(tp + fn, 1)
+    prec = tp / max(tp + fp, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 >= 0.85, (tp, fp, fn)

@@ -296,3 +296,47 @@ def test_eval_f1_summary_rows(tmp_path):
     assert rows[0] == ["tool", "svtype", "recall", "precision", "f1"]
     by = {(r[0], r[1]): r[4] for r in rows[1:]}
     assert by[("focalsv_tpu", "DEL")] == "1.0"
+
+
+def test_figdata_match_details_and_phasing_stats(tmp_path):
+    """Figure-data producers (FigureS31-34 + S37/S40/TableS6 analogs):
+    per-TP shift/similarity rows agree with the matcher's TP count, and
+    phasing stats against simulator truth haplotypes are clean on an
+    easy region (no switch errors, every usable read phased into one
+    block)."""
+    import numpy as np
+
+    from focalsv_tpu.config import preset
+    from focalsv_tpu.evaluation.compare import match_records, truth_from_sim
+    from focalsv_tpu.evaluation.figdata import (match_detail_rows,
+                                                phasing_stats,
+                                                write_rows_csv)
+    from focalsv_tpu.pipeline.region import process_region
+    from focalsv_tpu.testing import simulate as sim
+
+    region = sim.simulate_region(seed=31, ref_len=20_000, coverage=25,
+                                 n_snps=20,
+                                 svs=[sim.SimSV("DEL", 8_000, 120, "0/1"),
+                                      sim.SimSV("INS", 14_000, 200, "1/1",
+                                                seq=np.random.default_rng(
+                                                    [31, 5]).integers(
+                                                    0, 4, 200).astype(
+                                                    np.uint8))])
+    cfg = preset("HIFI")
+    res = process_region(region.reads, region.ref, 0, region.chrom, cfg)
+    truth = truth_from_sim(region.svs, region.chrom, region.ref)
+    b = match_records(res.records, truth)
+    rows = match_detail_rows(res.records, truth)
+    assert len(rows) == b.tp == 2
+    assert all(r["shift"] <= 500 for r in rows)
+    ins_rows = [r for r in rows if r["svtype"] == "INS"]
+    assert ins_rows and ins_rows[0]["seq_similarity"] != ""
+    assert float(ins_rows[0]["seq_similarity"]) >= 0.5
+    p = str(tmp_path / "tp.csv")
+    write_rows_csv(rows, p)
+    assert open(p).readline().startswith("chrom,")
+
+    st = phasing_stats(res.usable_reads, res.phase_hp, res.phase_ps)
+    assert st["n_phased"] > 0.8 * st["n_reads"]
+    assert st["switch_errors"] == 0 and st["hamming_mismatch"] == 0
+    assert st["block_n50_bp"] > 5_000
