@@ -230,6 +230,14 @@ def renormalize_del_events(mat: np.ndarray, min_len: int = 30,
         lens = np.array([int(isdel[r, wlo:whi].sum()) for r in readset])
         s_star = int(np.median(starts))
         l_star = int(np.median(lens))
+        # consistency gate: one real event concentrates the per-read
+        # totals around the true length; chained NOISE runs disperse them
+        # -- imposing a median over a dispersed cluster fabricates a
+        # deletion no read actually saw (measured: spurious multi-hundred
+        # bp DELs on CLR repeat arrays)
+        if l_star < min_len or \
+                float(np.median(np.abs(lens - l_star))) > 0.5 * l_star:
+            continue
         e_star = min(s_star + l_star, L)
         for r in readset:                  # withdraw the scattered votes
             win = mat[r, wlo:whi]

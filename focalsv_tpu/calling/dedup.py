@@ -86,11 +86,13 @@ def _same_witness_distinct(ra: VcfRecord, rb: VcfRecord) -> bool:
     """True when the records share a source contig and their query intervals
     on every shared contig are disjoint (distinct events on one haplotype
     path, not redundant reports of one event)."""
-    if ra.pos == rb.pos and ra.ref == rb.ref and ra.alt == rb.alt:
-        # byte-identical representations are ONE event no matter the
-        # witness geometry: unit-snapping canonicalizes scattered noisy
-        # observations of a repeat-array indel onto the same placement,
-        # and their (disjoint) contig offsets must not exempt them
+    if abs(ra.pos - rb.pos) <= 2:
+        # identical (canonical) positions are ONE event no matter the
+        # witness geometry: unit-snapping walks scattered noisy
+        # observations of a repeat-array indel to the same array-start
+        # placement, and their (disjoint) contig offsets must not exempt
+        # them -- a contig's fragmented expansion evidence otherwise
+        # survives as a pile of co-located records
         return False
     ta, tb = _tig_intervals(ra), _tig_intervals(rb)
     shared = set(ta) & set(tb)

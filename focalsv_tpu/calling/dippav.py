@@ -139,6 +139,25 @@ def paired_sig_to_vcf(
     return records
 
 
+def _snap_sig_lengths(s, ref: np.ndarray, ref_offset: int) -> None:
+    """In-place unit-aware canonicalization over a Sigs set: svlen snaps
+    to the whole-unit multiple AND the position walks to the array start
+    (two haplotypes can observe one array indel whole UNITS apart --
+    beyond pair_haplotypes' shift gate; at the canonical boundary they
+    pair and genotype correctly).  No-op outside tandem arrays."""
+    from focalsv_tpu.ops.normalize import (left_align_del,
+                                           snap_indel_with_unit)
+    L = len(ref)
+    for i in range(len(s)):
+        p0 = int(s.pos[i]) - ref_offset
+        ln = int(s.svlen[i])
+        if 1 <= p0 < L and ln >= 20:
+            snapped, u = snap_indel_with_unit(ref, p0, ln)
+            s.svlen[i] = snapped
+            if u >= 3:
+                s.pos[i] = left_align_del(ref, p0, u) + ref_offset
+
+
 def call_region_variants(
     contigs_hp1: dict[str, np.ndarray],
     contigs_hp2: dict[str, np.ndarray],
@@ -171,6 +190,13 @@ def call_region_variants(
         a.t_start += ref_offset
     s1 = extract_hap_sigs(aln1, names1, cfg.data_type, cfg.contig_sig)
     s2 = extract_hap_sigs(aln2, names2, cfg.data_type, cfg.contig_sig)
+    # unit-aware length snap BEFORE hp pairing: two noisy observations of
+    # one whole-unit array indel can measure a fraction of a unit apart,
+    # fail the pairing size gate, and mis-genotype a hom event as two
+    # unpaired hets (paired_sig_to_vcf re-snaps idempotently for the
+    # REF/ALT build)
+    _snap_sig_lengths(s1, ref, ref_offset)
+    _snap_sig_lengths(s2, ref, ref_offset)
     paired = pair_haplotypes(s1, s2)
     return paired_sig_to_vcf(paired, chrom, ref, ref_offset,
                              contigs_hp1, contigs_hp2)

@@ -139,9 +139,21 @@ def snap_indel_to_unit(ref: np.ndarray, pos: int, svlen: int,
     u-periodic (ref_period) and the correction is under half a unit --
     outside arrays this is a no-op.  Returns the (possibly snapped)
     |length|."""
+    return snap_indel_with_unit(ref, pos, svlen, max_unit)[0]
+
+
+def snap_indel_with_unit(ref: np.ndarray, pos: int, svlen: int,
+                         max_unit: int = 200) -> tuple[int, int]:
+    """snap_indel_to_unit plus the detected unit period (0 = aperiodic).
+
+    The unit lets callers canonicalize the POSITION too: inside an array
+    every unit boundary is an equivalent placement, and two haplotypes'
+    observations of one event can sit whole units apart -- beyond any
+    shift-bounded pairing gate (left_align_del(ref, pos, unit) walks to
+    the array start)."""
     L = abs(int(svlen))
     if L < 20:
-        return L
+        return L, 0
     # cheap aperiodicity prefilter: a u<=max_unit array repeats its 8-mers
     # every unit, so low 8-mer diversity is necessary for any snap; random
     # flank shows ~full diversity and skips the FFT period search
@@ -154,14 +166,14 @@ def snap_indel_to_unit(ref: np.ndarray, pos: int, svlen: int,
               + win[4:-3] * 256 + win[5:-2] * 1024 + win[6:-1] * 4096
               + win[7:] * 16384)
         if np.unique(km).size > 0.7 * km.size:
-            return L
+            return L, 0
     u = ref_period(ref, pos, L, max_period=max_unit)
     if u < 3:
-        return L
+        return L, 0
     k = int(round(L / u))
     if k < 1:
-        return L
+        return L, u
     snapped = k * u
     if snapped != L and abs(L - snapped) <= max(6, int(0.45 * u)):
-        return snapped
-    return L
+        return snapped, u
+    return L, u
