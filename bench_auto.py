@@ -47,15 +47,19 @@ def build_genome_chunked(tmp, n_chroms, chrom_len, coverage, svs_per_chrom,
     truth = []
     refs = []
     n_chunks = -(-chrom_len // chunk)
-    svs_per_chunk = max(1, svs_per_chrom // n_chunks)
+    # faithful distribution: chunk k gets quota[k], summing EXACTLY to
+    # svs_per_chrom (a max(1, //) floor inflated the request 3x at 40 Mb)
+    quota = [svs_per_chrom // n_chunks
+             + (1 if k < svs_per_chrom % n_chunks else 0)
+             for k in range(n_chunks)]
     for ci, name in enumerate(names):
         parts = []
         for ki in range(n_chunks):
             off = ki * chunk
             clen = min(chunk, chrom_len - off)
             svs = []
-            span = max((clen - 40_000) // max(svs_per_chunk, 1), 10_000)
-            for si in range(svs_per_chunk):
+            span = max((clen - 40_000) // max(quota[ki], 1), 10_000)
+            for si in range(quota[ki]):
                 pos = 20_000 + si * span + int(rng.integers(0, span - 8_000))
                 if pos >= clen - 20_000:
                     break

@@ -63,7 +63,7 @@ def main():
     cfg = preset("HIFI")
 
     # one bucket's worth of real simulated tiles (identical shape)
-    tmp = os.path.join("/tmp", f"focalsv_scaling_l{args.ref_len}")
+    tmp = os.path.join("/tmp", f"focalsv_scaling_l{args.ref_len}_c{int(args.coverage)}")
     os.makedirs(tmp, exist_ok=True)
     jobs = bench._make_jobs(tmp, 8, args.coverage, args.ref_len)
     tiles = []

@@ -208,6 +208,7 @@ def renormalize_del_events(mat: np.ndarray, min_len: int = 30,
         else:
             clusters.append([ev])
     valid = mat != NOCOV
+    prev_imposed_end = 0
     for cl in clusters:
         readset = {r for _, _, r in cl}
         lo = min(a for a, _, _ in cl)
@@ -222,7 +223,7 @@ def renormalize_del_events(mat: np.ndarray, min_len: int = 30,
         # into several nearby runs (many below min_len), so the read's
         # evidence is its TOTAL deleted columns across the cluster window
         # (median over per-run lengths systematically undercalls)
-        wlo = max(0, lo - dist)
+        wlo = max(0, lo - dist, prev_imposed_end)
         whi = min(L, hi + dist)
         readset = sorted(readset)
         starts = np.array([min(a for a, _, r2 in cl if r2 == r)
@@ -245,6 +246,7 @@ def renormalize_del_events(mat: np.ndarray, min_len: int = 30,
         for r in readset:
             span = valid[r, s_star:e_star]
             mat[r, s_star:e_star][span] = DEL_SYM
+        prev_imposed_end = e_star
 
 
 def decide_insertions(

@@ -154,7 +154,10 @@ def _snap_sig_lengths(s, ref: np.ndarray, ref_offset: int) -> None:
         if 1 <= p0 < L and ln >= 20:
             snapped, u = snap_indel_with_unit(ref, p0, ln)
             s.svlen[i] = snapped
-            if u >= 3:
+            if u >= 3 and snapped % u == 0:
+                # position canonicalization is equivalence-preserving only
+                # for whole-unit lengths (shifting a non-multiple indel by
+                # units changes the haplotype)
                 s.pos[i] = left_align_del(ref, p0, u) + ref_offset
 
 

@@ -38,6 +38,7 @@ def match_detail_rows(
     pctsim: float = 0.5,
     sizemin: int = 50,
     pctovl: float = 0.01,
+    check_seq: bool = True,
 ) -> list[dict]:
     """Per-TP detail rows (FigureS31-34 analog): breakpoint shift, size
     ratio, and INS sequence similarity for every matched (truth, call)
@@ -61,7 +62,9 @@ def match_detail_rows(
                 if ovl < pctovl * lt or ovl < pctovl * lc:
                     continue
             seq_sim = None
-            if (_svtype(t) == "INS" and len(t.alt) > 1 and len(c.alt) > 1
+            if (check_seq
+                    and _svtype(t) == "INS" and len(t.alt) > 1
+                    and len(c.alt) > 1
                     and not t.alt.startswith("<")
                     and not c.alt.startswith("<")):
                 seq_sim = float(alignops.edit_similarity(

@@ -628,7 +628,7 @@ class BamReader:
         reproduces the exact error semantics)."""
         from focalsv_tpu import native
         raw = self.bgzf.raw
-        if native.get_parse_lib() is None or len(raw) > (256 << 20):
+        if native.get_parse_lib() is None or len(raw) > (64 << 20):
             return None
         data = native.bgzf_inflate(raw)
         if data is None:

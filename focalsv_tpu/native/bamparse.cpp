@@ -597,6 +597,7 @@ int64_t bgzf_index(const uint8_t* raw, int64_t n,
             const uint8_t si1 = raw[p], si2 = raw[p + 1];
             uint16_t slen;
             std::memcpy(&slen, raw + p + 2, 2);
+            if (p + 4 + slen > end_extra) return -1;  // subfield overruns
             if (si1 == 0x42 && si2 == 0x43 && slen >= 2) {
                 uint16_t bs;
                 std::memcpy(&bs, raw + p + 4, 2);

@@ -469,6 +469,7 @@ def streamed_map(pool, tile_jobs: list, cfg: PipelineConfig, finish,
         outs = decode_chunk(tiles, chunk, key, res, cfg)
         st["device_wait_s"] += _time.perf_counter() - t0
         st["d2h_bytes"] += len(chunk) * _d2h_bytes_per_region(key, cfg)
+        st["n_host_fallback"] += sum(1 for i in chunk if i not in outs)
         for i in chunk:
             fin_futs[i] = pool.submit(timed_finish, i, tiles[i], outs.get(i))
 

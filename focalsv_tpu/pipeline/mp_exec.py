@@ -102,6 +102,8 @@ def _child_main(cid: int, n_children: int, cfg_bytes: bytes, req_q, cmd_q):
                 _, idx, rbuf = msg
                 tile = tiles.pop(idx)
                 dev = _decode_region(rbuf, tile, cfg)
+                if dev is None:          # RLE run-budget overflow
+                    stats["n_host_fallback"] += 1
                 finish(idx, tile, dev)
                 return True
             raise RuntimeError(f"unexpected child command {msg[0]}")
@@ -269,12 +271,22 @@ class MpRegionExecutor:
                 pending.pop(0)
                 route(idxs, key, G, res)
 
+        idle_checks = 0
         while len(finished) < self.n_children:
             try:
                 msg = self.req_q.get(timeout=0.002)
             except queue_mod.Empty:
                 drain_ready()
+                idle_checks += 1
+                if idle_checks % 500 == 0:   # ~1 s of idling
+                    for cid, proc in enumerate(self.procs):
+                        if cid not in finished and not proc.is_alive():
+                            raise RuntimeError(
+                                f"mp child {cid} died (exitcode "
+                                f"{proc.exitcode}) without reporting -- "
+                                "native crash or OOM kill")
                 continue
+            idle_checks = 0
             kind = msg[0]
             if kind == "tile":
                 _, cid, idx, key, payload = msg
