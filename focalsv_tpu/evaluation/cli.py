@@ -191,6 +191,25 @@ def main(argv=None) -> int:
     pd.add_argument("--sizemin", type=int, default=50)
     pd.set_defaults(fn=cmd_figdata)
 
+    from focalsv_tpu.evaluation.figures import cmd_figures
+    pfig = sub.add_parser(
+        "figures", help="render paper figures from emitted data "
+        "(Figure3 grid, Figure4 curves, Figure5-6 heatmaps, S31-34 "
+        "distributions)")
+    pfig.add_argument("--out_dir", required=True)
+    pfig.add_argument("--grid-dir", default=None,
+                      help="`eval grid` output dir (heatmaps + curves)")
+    pfig.add_argument("--details", default=None,
+                      help="`eval figdata` tp_match_details.csv "
+                      "(shift + similarity distributions)")
+    pfig.add_argument("--f1", nargs="+", default=None,
+                      metavar="TOOL=PROTOCOL_DIR",
+                      help="per-tool `eval protocol` dirs for the "
+                      "Figure-3 F1 bar grid")
+    pfig.add_argument("--target-tool", default="focalsv-tpu")
+    pfig.add_argument("--libname", default="library")
+    pfig.set_defaults(fn=cmd_figures)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

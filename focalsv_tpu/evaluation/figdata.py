@@ -14,8 +14,8 @@ Reference analogs:
   names as `sim_h{1,2}_*`; real data would pass a name->hap map from a
   truth-tagged BAM).
 
-Rendering is out of scope by design (SURVEY.md L6): every figure's DATA
-exists; the plots are one pandas/matplotlib call away.
+Rendering lives in `evaluation/figures.py` (`focalsv-tpu-eval figures`):
+these producers emit each figure's DATA; the renderers consume it.
 """
 
 from __future__ import annotations
