@@ -133,6 +133,12 @@ class FPFilterConfig:
     max_shift: int = 500
     min_size_sim: float = 0.3           # compare_sigs :56-69
     min_support: int = 1
+    # tandem-array read-evidence arbitration (calling/array_arbitrate.py):
+    # inside a detected repeat unit, spanning-read signature clusters
+    # override contig calls that conflict with them (the reference's
+    # reads-rescue shape, 5_post_processing/GT_impute.py)
+    array_arbitrate: bool = True
+    arb_min_support: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -178,6 +178,19 @@ def finish_region_result(
         _normalize_sigs(read_sigs, ref_codes, region_start, reads=reads)
         records, dropped = fp_filter_records(records, read_sigs, cfg.fp_filter)
         res.dropped.extend(dropped)
+        # tandem-array loci: spanning-read clusters arbitrate contig calls
+        # (noisy de-novo consensus mis-counts units; reads are the
+        # stronger witness exactly there — calling/array_arbitrate.py)
+        from focalsv_tpu.calling.array_arbitrate import arbitrate_array_calls
+        hp_by_name = {}
+        if res.usable_reads is not None and res.phase_hp is not None:
+            hp_by_name = {r.name: int(h) for r, h in
+                          zip(res.usable_reads, res.phase_hp)}
+        records, arb_dropped = arbitrate_array_calls(
+            records, read_sigs, res.usable_reads or reads, hp_by_name,
+            ref_codes, region_start, chrom, cfg.fp_filter,
+            min_sv_size=cfg.read_scan.min_sv_size)
+        res.dropped.extend(arb_dropped)
     if records:
         records, removed = dedup_records(records, cfg.dedup)
         res.dropped.extend(removed)
